@@ -1,38 +1,39 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship noise-join pipeline on sf0.001.
+queries()         — one entry per implemented operator (SURVEY.md §2),
+                    each (spark, sf_dir) -> DataFrame.
+oracle_sql()      — DuckDB SQL twins, column names aliased identically.
+
+Implementation lives in hope_graph_builder_spark/ (contract.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hope_graph_builder_spark import contract, synth  # noqa: E402
+from hope_graph_builder_spark.pipelines.noise_join import run_noise_join  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: page-derived edges × noise polygon layers →
+    per-edge noise exposure maps (reference noise_graph_join §3.1)."""
+    sf_dir = "/root/testdata/sf0.001"
+    edges = synth.page_edges(spark, sf_dir)
+    layers = synth.noise_layers(spark)
+    return run_noise_join(edges, layers, synth.NODATA_RECT, res=9)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return contract.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return contract.oracle_sql()

@@ -1,0 +1,173 @@
+"""Driver-contract implementation: queries() + oracle_sql() pairs.
+
+Each query is a (spark, sf_dir) -> DataFrame callable; each oracle is
+DuckDB SQL over the same parquet views producing identical rows
+(column names aliased identically on both sides — the driver hashes
+values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark import oracle, synth
+from hope_graph_builder_spark.operators.noise import (
+    SOURCES,
+    edge_db_rows,
+    edge_source_rows,
+)
+from hope_graph_builder_spark.operators.sampling import sample_edges
+from hope_graph_builder_spark.operators.spatial_join import (
+    dwithin_join,
+    pip_join_rect,
+    with_point_cell,
+)
+from hope_graph_builder_spark.pipelines.noise_join import noise_final_samples
+from hope_graph_builder_spark.spatial.cells import cell_size
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# --------------------------------------------------------------- helpers --
+
+def _final_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = synth.page_edges(spark, sf_dir)
+    layers = synth.noise_layers(spark)
+    return noise_final_samples(edges, layers, synth.NODATA_RECT, res=9)
+
+
+# ------------------------------------------------ flagship spatial joins --
+
+@register("noise_exposures", oracle.sql_noise_exposures())
+def q_noise_exposures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship J1/A2/A3-A6/J12/A7: per-edge dB exposure rows."""
+    return edge_db_rows(_final_samples(spark, sf_dir))
+
+
+@register("noise_source_counts", oracle.sql_noise_source_counts())
+def q_noise_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edge_source_rows(_final_samples(spark, sf_dir))
+
+
+@register("noise_main_source", oracle.sql_noise_main_source())
+def q_noise_main_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = _final_samples(spark, sf_dir)
+    src_rows = edge_source_rows(final)
+    prio = F.array_position(F.array(*[F.lit(s) for s in SOURCES]), F.col("src"))
+    mode = src_rows.groupBy("edge_id").agg(
+        F.max_by("src", F.struct(F.col("cnt"), (-prio).alias("p"))).alias("noise_source")
+    )
+    return (
+        final.select("edge_id").distinct()
+        .join(mode, "edge_id", "left")
+        .select("edge_id", F.coalesce("noise_source", F.lit("")).alias("noise_source"))
+    )
+
+
+@register(
+    "point_cells",
+    f"""
+    WITH pts AS ({synth.sql_points()})
+    SELECT doc_id,
+           (9 * 72057594037927936 /* 9 << 56 */)
+           + CAST(floor(x / {cell_size(9)}) AS BIGINT) * 268435456
+           + CAST(floor(y / {cell_size(9)}) AS BIGINT) AS cell
+    FROM pts
+    """,
+)
+def q_point_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment: exact cell id per page point (north-rule
+    'exact tile/cell assignments per geometry')."""
+    pts = synth.page_points(spark, sf_dir)
+    return with_point_cell(pts, "x", "y", res=9, out="cell").select("doc_id", "cell")
+
+
+@register(
+    "pip_point_layers",
+    f"""
+    WITH pts AS ({synth.sql_points()}),
+         layers AS ({synth.sql_layers_duckdb()})
+    SELECT p.doc_id, l.layer, max(l.db) AS max_db
+    FROM pts p JOIN layers l
+      ON p.x >= l.minx AND p.x < l.maxx AND p.y >= l.miny AND p.y < l.maxy
+    GROUP BY p.doc_id, l.layer
+    """,
+)
+def q_pip_point_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 core: page points × noise polygons, max dB per layer."""
+    pts = synth.page_points(spark, sf_dir)
+    layers = synth.noise_layers(spark)
+    m = pip_join_rect(pts, layers, res=9, how="inner", point_id="doc_id")
+    return m.groupBy("doc_id", "layer").agg(F.max("db").alias("max_db"))
+
+
+@register(
+    "dwithin_pages_edges",
+    f"""
+    WITH pts AS ({synth.sql_points()}),
+         edges AS ({synth.sql_edges()})
+    SELECT e.edge_id, p.doc_id
+    FROM edges e JOIN pts p ON (
+      CASE WHEN (e.x2-e.x1)*(e.x2-e.x1) + (e.y2-e.y1)*(e.y2-e.y1) > 0 THEN
+        (p.x - (e.x1 + least(greatest(((p.x-e.x1)*(e.x2-e.x1) + (p.y-e.y1)*(e.y2-e.y1))
+            / ((e.x2-e.x1)*(e.x2-e.x1) + (e.y2-e.y1)*(e.y2-e.y1)), 0.0), 1.0) * (e.x2-e.x1)))
+        * (p.x - (e.x1 + least(greatest(((p.x-e.x1)*(e.x2-e.x1) + (p.y-e.y1)*(e.y2-e.y1))
+            / ((e.x2-e.x1)*(e.x2-e.x1) + (e.y2-e.y1)*(e.y2-e.y1)), 0.0), 1.0) * (e.x2-e.x1)))
+        + (p.y - (e.y1 + least(greatest(((p.x-e.x1)*(e.x2-e.x1) + (p.y-e.y1)*(e.y2-e.y1))
+            / ((e.x2-e.x1)*(e.x2-e.x1) + (e.y2-e.y1)*(e.y2-e.y1)), 0.0), 1.0) * (e.y2-e.y1)))
+        * (p.y - (e.y1 + least(greatest(((p.x-e.x1)*(e.x2-e.x1) + (p.y-e.y1)*(e.y2-e.y1))
+            / ((e.x2-e.x1)*(e.x2-e.x1) + (e.y2-e.y1)*(e.y2-e.y1)), 0.0), 1.0) * (e.y2-e.y1)))
+      ELSE (p.x - e.x1)*(p.x - e.x1) + (p.y - e.y1)*(p.y - e.y1) END
+    ) <= 900.0
+    """,
+)
+def q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: pages within 30 m of street edges (DWithin, no buffer geometry)."""
+    pts = synth.page_points(spark, sf_dir).select("doc_id", "x", "y")
+    edges = synth.page_edges(spark, sf_dir).select("edge_id", "x1", "y1", "x2", "y2")
+    return dwithin_join(pts, edges, dist=30.0, res=9).select("edge_id", "doc_id")
+
+
+@register(
+    "edge_sampling",
+    f"""
+    WITH edges AS ({synth.sql_edges()}),
+         en AS (SELECT *, greatest(1, CAST(round_even(length / 3.0, 0) AS BIGINT)) AS n FROM edges)
+    SELECT edge_id, n AS n_samples, n * (length / n) AS total_len
+    FROM en
+    """,
+)
+def q_edge_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5 conservation: sample count and Σ sample_len per edge
+    (Σ over n identical quotients = n × quotient, order-independent)."""
+    edges = synth.page_edges(spark, sf_dir)
+    s = sample_edges(edges)
+    # n × quotient (not a float fold): order-independent, bit-identical
+    # to the oracle's n * (length / n)
+    return s.groupBy("edge_id").agg(
+        F.count("*").alias("n_samples"),
+        (F.count("*") * F.min("sample_len")).alias("total_len"),
+    )

@@ -1,0 +1,179 @@
+"""Noise-exposure aggregation semantics (reference operators A2–A7).
+
+Column-native re-expression of
+`/root/reference/src/noise_graph_join/utils.py:112-275`. All row-wise
+`df.apply(..., axis=1)` lambdas become Column expressions; the only
+grouped aggregations are ordinary groupBy/pivot (map-side partials,
+one shuffle each).
+
+Layer model (synthetic graft of the reference's 13 layers,
+`noise_layers.csv`): providers {hel, syke} × sources
+{road, train, tram, metro} → 8 layers named ``{provider}_{source}``.
+Priority: hel before syke (reference utils.py:168-171); interpolated
+samples flip to syke-first (prefer_syke, utils.py:174-178 /
+noise_graph_join.py:108).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SOURCES = ["road", "train", "tram", "metro"]
+PROVIDERS = ["hel", "syke"]
+LAYER_NAMES = [f"{p}_{s}" for p in PROVIDERS for s in SOURCES]
+
+
+def pivot_layer_max(matches: DataFrame, key: str | list[str] = "xy_id") -> DataFrame:
+    """(key, layer, db) match rows → one row per key with a column per
+    layer holding MAX db. Fuses J1's 13 sequential sjoins into one
+    pivot and subsumes A2's overlap dedup-keep-max (utils.py:112-141):
+    stacked invalid polygons inside one layer simply max-reduce."""
+    keys = [key] if isinstance(key, str) else key
+    return matches.groupBy(*keys).pivot("layer", LAYER_NAMES).agg(F.max("db"))
+
+
+def _first_finite(cols: list[str]) -> Column:
+    return F.coalesce(*[F.col(c).cast("double") for c in cols])
+
+
+def aggregate_noise_values(samples: DataFrame, prefer_syke: bool = False) -> DataFrame:
+    """Per-sampling-point source aggregation (utils.py:165-232):
+
+    1. per-source dB = first non-null layer value in priority order (A3)
+    2. n_max = max over sources (A4, null-safe greatest)
+    3. n_max_sources = names of sources attaining n_max, in the fixed
+       source order (A5)
+    4. n_max_adj = n_max + count(sources) when >1 co-max sources (A6)
+
+    NaN→NULL normalization is assumed done at ingest (we never produce
+    NaN), so SQL coalesce == the reference's first-finite.
+    """
+    providers = PROVIDERS[::-1] if prefer_syke else PROVIDERS
+    df = samples
+    for s in SOURCES:
+        df = df.withColumn(s, _first_finite([f"{p}_{s}" for p in providers]))
+    df = df.withColumn("rail", F.greatest("train", "tram", "metro"))
+    df = df.withColumn("n_max", F.greatest(*SOURCES))
+    pairs = F.array(*[F.struct(F.lit(s).alias("name"), F.col(s).alias("val")) for s in SOURCES])
+    df = df.withColumn(
+        "n_max_sources",
+        F.when(
+            F.col("n_max").isNull(), F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.filter(pairs, lambda p: p["val"] == F.col("n_max")), lambda p: p["name"]
+            )
+        ),
+    )
+    df = df.withColumn(
+        "n_max_adj",
+        F.when(F.size("n_max_sources") > 1, F.col("n_max") + F.size("n_max_sources"))
+        .when(F.size("n_max_sources") == 1, F.col("n_max"))
+        .otherwise(F.lit(None).cast("double")),
+    )
+    return df
+
+
+def quantile_nearest_agg(values: Column, n: int, q: float = 0.7) -> Column:
+    """Exact nearest-rank quantile over a collected list of exactly
+    ``n`` values — reproduces pandas ``quantile(q, 'nearest')`` used by
+    the kNN interpolation (noise_graph_join.py:93): sorted[round(q*(n-1))].
+    Native sort_array + element_at; NOT percentile_approx."""
+    idx = int(q * (n - 1) + 0.5) + 1  # 1-based
+    return F.element_at(F.sort_array(values), idx)
+
+
+def interpolate_missing(
+    ring_pivot: DataFrame, ring_count: int = 20, key: str = "xy_id", q: float = 0.7
+) -> DataFrame:
+    """Per missing point: fill unmatched ring points' layer values with
+    0, take the exact 0.7-nearest quantile per layer over the ring's
+    ``ring_count`` samples, then 0 → NULL (noise_graph_join.py:88-98).
+
+    ``ring_pivot`` = one row per ring point (key, layer columns), i.e.
+    the pivot_layer_max output joined back to all ring points so every
+    key has exactly ring_count rows (unmatched → nulls).
+    """
+    aggs = [
+        quantile_nearest_agg(
+            F.collect_list(F.coalesce(F.col(c).cast("double"), F.lit(0.0))), ring_count, q
+        ).alias(c)
+        for c in LAYER_NAMES
+    ]
+    out = ring_pivot.groupBy(key).agg(*aggs)
+    for c in LAYER_NAMES:
+        out = out.withColumn(c, F.when(F.col(c) != 0.0, F.col(c)))
+    return out
+
+
+def edge_db_rows(final_samples: DataFrame, edge_id: str = "edge_id") -> DataFrame:
+    """Flat dB-exposure rows (edge_id, db, exposure):
+    value_counts of n_max_adj per edge (nulls excluded, utils.py:242)
+    × sample_len, rounded to 5 dp (utils.py:250)."""
+    return (
+        final_samples.filter(F.col("n_max_adj").isNotNull())
+        .groupBy(edge_id, "n_max_adj")
+        .agg(F.count("*").alias("cnt"), F.min("sample_len").alias("sample_len"))
+        .select(
+            edge_id,
+            F.col("n_max_adj").cast("int").alias("db"),
+            F.bround(F.col("cnt") * F.col("sample_len"), 5).alias("exposure"),
+        )
+    )
+
+
+def edge_source_rows(final_samples: DataFrame, edge_id: str = "edge_id") -> DataFrame:
+    """Flat source-count rows (edge_id, src, cnt) — the Counter over
+    concatenated n_max_sources lists (utils.py:264-271)."""
+    return (
+        final_samples.select(edge_id, F.explode_outer("n_max_sources").alias("src"))
+        .filter(F.col("src").isNotNull())
+        .groupBy(edge_id, "src")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def aggregate_noises_by_edge(final_samples: DataFrame, edge_id: str = "edge_id") -> DataFrame:
+    """Edge-level noise attributes (utils.py:234-275):
+
+    - noises:        map<int,double> dB → round(count × sample_len, 5)
+    - noise_source:  most frequent source over all samples' co-max
+                     source lists ('' when none)
+    - noise_sources: map<string,int> source → sample count
+
+    Tie-break deviation (documented): the reference's
+    ``statistics.mode`` picks the first-encountered value on ties
+    (row-order dependent, utils.py:260); we pin a deterministic rule —
+    highest count, then fixed source order road>train>tram>metro.
+
+    Input: one row per (edge sample), with n_max_adj, n_max_sources,
+    sample_len. Two grouped passes (db histogram, source histogram) +
+    one reassembly join — all equi-shuffles on edge_id.
+    """
+    db = edge_db_rows(final_samples, edge_id)
+    noises = db.groupBy(edge_id).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("db", "exposure")))
+        ).alias("noises")
+    )
+    src_rows = edge_source_rows(final_samples, edge_id)
+    prio = F.array_position(F.array(*[F.lit(s) for s in SOURCES]), F.col("src"))
+    src_agg = src_rows.groupBy(edge_id).agg(
+        F.max_by(F.col("src"), F.struct(F.col("cnt"), (-prio).alias("p"))).alias("noise_source"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("src", F.col("cnt").cast("int"))))
+        ).alias("noise_sources"),
+    )
+
+    edges_all = final_samples.select(edge_id).distinct()
+    return (
+        edges_all.join(noises, edge_id, "left")
+        .join(src_agg, edge_id, "left")
+        .select(
+            edge_id,
+            F.coalesce("noises", F.map_from_arrays(F.array().cast("array<int>"), F.array().cast("array<double>"))).alias("noises"),
+            F.coalesce("noise_source", F.lit("")).alias("noise_source"),
+            F.coalesce("noise_sources", F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<int>"))).alias("noise_sources"),
+        )
+    )

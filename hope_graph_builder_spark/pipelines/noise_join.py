@@ -1,0 +1,123 @@
+"""Flagship pipeline: the noise-graph spatial join, re-expressed as one
+lazy DataFrame DAG (reference `/root/reference/src/noise_graph_join/
+noise_graph_join.py:17-138`, traced in SURVEY.md §3.1).
+
+Stage map (reference step → here):
+  3  sampling points           sample_edges            (native explode)
+  4  xy_id dedup (CSE)         with_xy_id + unique_points
+  5  nodata-zone flag          native rect predicate
+  6  13-layer sjoin + dedup    pip_join_rect + pivot_layer_max (1 join,
+                               1 pivot — not 13 sequential sjoins)
+  7  missing split             Column predicate
+  8  kNN ring interpolation    ring_points + pip_join_rect +
+                               exact 0.7-nearest quantile
+  9  source coalesce/max/...   aggregate_noise_values
+ 10  union                     unionByName
+ 11  fan-out join              samples ⟕ all_samples on xy_id
+ 12  per-edge aggregate        aggregate_noises_by_edge
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark.operators.noise import (
+    LAYER_NAMES,
+    aggregate_noise_values,
+    aggregate_noises_by_edge,
+    interpolate_missing,
+    pivot_layer_max,
+)
+from hope_graph_builder_spark.operators.sampling import (
+    ring_points,
+    sample_edges,
+    with_xy_id,
+)
+from hope_graph_builder_spark.operators.spatial_join import pip_join_rect
+
+SAMPLE_COLS = ["xy_id", "road", "train", "tram", "metro", "n_max", "n_max_sources", "n_max_adj"]
+
+
+def unique_points(samples: DataFrame) -> DataFrame:
+    """Distinct quantized sampling locations. The reference keeps the
+    first duplicate's exact geometry (noise_graph_join.py:33); for
+    deterministic distributed execution we use the quantized location
+    itself (bin coordinate, 0.1 m grid) — documented deviation, same
+    equivalence classes."""
+    return samples.select("xy_id").distinct().select(
+        "xy_id",
+        (F.floor(F.col("xy_id") / 10_000_000) / 10.0).alias("x"),
+        (F.pmod(F.col("xy_id"), 10_000_000) / 10.0).alias("y"),
+    )
+
+
+def noise_final_samples(
+    edges: DataFrame,
+    layers: DataFrame,
+    nodata_rect: tuple[float, float, float, float],
+    res: int = 9,
+    ring_radius: float = 7.0,
+    ring_count: int = 20,
+    salt: int = 1,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """edges(edge_id, x1, y1, x2, y2, length) ×
+    layers(layer, poly_id, minx, miny, maxx, maxy, db) →
+    one row per edge sample with per-source dB, n_max, n_max_sources,
+    n_max_adj (reference steps 3-11; input to the per-edge aggregate)."""
+    samples = with_xy_id(sample_edges(edges))
+    uniq = unique_points(samples)
+
+    nx0, ny0, nx1, ny1 = nodata_rect
+    uniq = uniq.withColumn(
+        "nodata_zone",
+        (F.col("x") >= nx0) & (F.col("x") < nx1) & (F.col("y") >= ny0) & (F.col("y") < ny1),
+    )
+
+    matches = pip_join_rect(
+        uniq, layers, res=res, how="inner", point_id="xy_id", salt=salt, hot=hot
+    ).select("xy_id", "layer", "db")
+    pts = uniq.join(pivot_layer_max(matches, "xy_id"), "xy_id", "left")
+
+    no_noise = None
+    for c in LAYER_NAMES:
+        cond = F.col(c).isNull()
+        no_noise = cond if no_noise is None else (no_noise & cond)
+    pts = pts.withColumn("missing_noises", F.col("nodata_zone") & no_noise)
+
+    normal = aggregate_noise_values(pts.filter(~F.col("missing_noises"))).select(*SAMPLE_COLS)
+
+    miss = pts.filter(F.col("missing_noises")).select("xy_id", "x", "y")
+    rings = ring_points(miss, radius=ring_radius, count=ring_count, keep=["xy_id"], index_col="ring_i")
+    ring_matches = pip_join_rect(
+        rings, layers, res=res, how="inner", point_id="xy_id", salt=salt, hot=hot
+    ).select("xy_id", "ring_i", "layer", "db")
+    ring_pivot = rings.select("xy_id", "ring_i").join(
+        pivot_layer_max(ring_matches, ["xy_id", "ring_i"]), ["xy_id", "ring_i"], "left"
+    )
+    interp_vals = interpolate_missing(ring_pivot, ring_count=ring_count)
+    interp = aggregate_noise_values(
+        miss.select("xy_id").join(interp_vals, "xy_id", "left"), prefer_syke=True
+    ).select(*SAMPLE_COLS)
+
+    all_samples = normal.unionByName(interp)
+    return samples.join(all_samples, "xy_id", "left")
+
+
+def run_noise_join(
+    edges: DataFrame,
+    layers: DataFrame,
+    nodata_rect: tuple[float, float, float, float],
+    res: int = 9,
+    ring_radius: float = 7.0,
+    ring_count: int = 20,
+    salt: int = 1,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Full flagship: → edge_noises(edge_id, noises map, noise_source,
+    noise_sources map)."""
+    final = noise_final_samples(
+        edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot
+    )
+    return aggregate_noises_by_edge(final)

@@ -1,0 +1,147 @@
+"""Vectorized numpy geometry kernels — the Shapely stand-in.
+
+These run inside Arrow-batched pandas UDFs (never per-row Python UDFs).
+Each kernel documents which reference operation it re-expresses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Ray-cast point-in-polygon for many points against one ring.
+
+    Re-expresses gpd.sjoin 'within' refinement
+    (`/root/reference/src/noise_graph_join/utils.py:143-163`).
+    ring: (m, 2) closed or open; boundary points follow the ray-cast
+    half-open convention (consistent, deterministic).
+    """
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+        x0 = np.append(x0, ring[-1, 0]); y0 = np.append(y0, ring[-1, 1])
+        x1 = np.append(x1, ring[0, 0]); y1 = np.append(y1, ring[0, 1])
+    px = px[:, None]
+    py = py[:, None]
+    cond = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / np.where(y1 != y0, y1 - y0, 1.0)
+    crossings = cond & (px < xint)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def point_segment_dist2(
+    px: np.ndarray, py: np.ndarray,
+    ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray,
+) -> np.ndarray:
+    """Squared distance from points to segments, elementwise.
+
+    Backs the DWithin join (reference buffered-edge sjoin,
+    `/root/reference/src/green_view_join_v1/green_view_join_v1.py:38-53`):
+    dwithin(line, p, d) ⇔ dist2 ≤ d²  — no sqrt, no buffer geometry.
+    """
+    dx, dy = bx - ax, by - ay
+    seg2 = dx * dx + dy * dy
+    t = np.where(seg2 > 0, ((px - ax) * dx + (py - ay) * dy) / np.where(seg2 > 0, seg2, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+
+def polyline_length(coords: np.ndarray) -> float:
+    d = np.diff(coords, axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def polyline_interpolate(coords: np.ndarray, fracs: np.ndarray) -> np.ndarray:
+    """Points at normalized distances ``fracs`` ∈ [0,1] along a polyline.
+
+    Re-expresses Shapely ``line.interpolate(d, normalized=True)`` used
+    for sampling-point generation
+    (`/root/reference/src/noise_graph_join/utils.py:23-30`).
+    Returns (k, 2).
+    """
+    d = np.diff(coords, axis=0)
+    seglen = np.sqrt((d * d).sum(axis=1))
+    total = seglen.sum()
+    if total == 0:
+        return np.repeat(coords[:1], len(fracs), axis=0)
+    cum = np.concatenate([[0.0], np.cumsum(seglen)])
+    target = fracs * total
+    idx = np.clip(np.searchsorted(cum, target, side="right") - 1, 0, len(seglen) - 1)
+    local = (target - cum[idx]) / np.where(seglen[idx] > 0, seglen[idx], 1.0)
+    return coords[idx] + d[idx] * local[:, None]
+
+
+def ring_points(cx: float, cy: float, radius: float, k: int) -> np.ndarray:
+    """k points on the circle boundary around (cx, cy) — the offset-ring
+    sampling of the kNN interpolation branch
+    (`/root/reference/src/noise_graph_join/utils.py:89-96`, buffer →
+    boundary → interpolate; k=20, r=7 at `noise_graph_join.py:75`).
+    """
+    theta = 2.0 * np.pi * np.arange(k) / k
+    return np.column_stack([cx + radius * np.cos(theta), cy + radius * np.sin(theta)])
+
+
+def shoelace_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+
+
+def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip ``subject`` ring by a CONVEX ``clip`` ring.
+
+    Backs the overlay intersection join (PostGIS ST_Intersection at
+    `/root/reference/src/green_view_join_v1/land_cover_overlay_analysis.py:87-143`)
+    for convex buffers (rectangles in the synthetic fixtures).
+    Returns the (possibly empty) clipped ring, open.
+    """
+    def _close(r):
+        if len(r) and (r[0] != r[-1]).any():
+            return r
+        return r[:-1] if len(r) else r
+
+    subject = _close(np.asarray(subject, dtype=float))
+    clip = _close(np.asarray(clip, dtype=float))
+    # Ensure counter-clockwise clip ring so "inside" = left of each edge.
+    x, y = clip[:, 0], clip[:, 1]
+    if (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) < 0:
+        clip = clip[::-1]
+    out = subject
+    m = len(clip)
+    for i in range(m):
+        if len(out) == 0:
+            break
+        a, b = clip[i], clip[(i + 1) % m]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        inp = out
+        out_list = []
+        prev = inp[-1]
+
+        # side(p) >= 0 means inside (left of a→b for a CCW clip ring)
+        def side(p):
+            return ex * (p[1] - a[1]) - ey * (p[0] - a[0])
+
+        prev_in = side(prev) >= 0
+        for cur in inp:
+            cur_in = side(cur) >= 0
+            if cur_in != prev_in:
+                # intersection of prev→cur with the clip edge line
+                dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                denom = ex * dy - ey * dx
+                if denom != 0:
+                    t = (ex * (a[1] - prev[1]) - ey * (a[0] - prev[0])) / denom
+                    out_list.append([prev[0] + t * dx, prev[1] + t * dy])
+            if cur_in:
+                out_list.append([cur[0], cur[1]])
+            prev, prev_in = cur, cur_in
+        out = np.asarray(out_list, dtype=float)
+    return out
+
+
+def bbox_of(coords: np.ndarray) -> tuple[float, float, float, float]:
+    return (
+        float(coords[:, 0].min()), float(coords[:, 1].min()),
+        float(coords[:, 0].max()), float(coords[:, 1].max()),
+    )

@@ -1,0 +1,205 @@
+"""Deterministic geometry synthesis from the web-pages table.
+
+The driver's input hint mandates a Common-Crawl-style pages table
+``(url, warc_ts, html, text, lang)``; geometries are synthesized from it
+deterministically (BASELINE.json north_star: "page-derived point/polygon
+geometries"). The sandbox's stand-in is ``documents.parquet``
+(doc_id, text, lang, source, n_chars) — ``pages()`` adapts it.
+
+EVERY formula here uses only IEEE-exact operations (integer LCG, `%` on
+non-negative ints, `+ - * /`, `sqrt`, `floor`, CASE) so the DuckDB
+oracle (sql_* emitters below) reproduces Spark's doubles bit-for-bit —
+the driver's value-hash comparison depends on this.
+
+Skew is synthesized on purpose: every 10th page lands in one ~100 m
+hotspot square, creating a hot cell for the salting path (reference
+warns of stacked overlapping surfaces at
+`/root/reference/src/noise_graph_join/utils.py:150-151`).
+
+Per-row invariant: ``text`` (and ``url``) ride along untouched through
+every derived table — byte-identity is asserted in tests via xxhash64
+digest anti-joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# LCG constants (public: glibc / MS / Knuth mixes)
+A1, C1 = 1103515245, 12345
+A2, C2 = 69069, 1
+A3, C3 = 214013, 2531011
+A4, C4 = 134775813, 1
+MOD = 2147483648
+
+SAMPLING_INTERVAL_M = 3.0  # reference noise_graph_join.py:28
+HOTSPOT = 50000.0
+
+# noise layer grid: providers {hel, syke} × sources {road, train, tram, metro}
+# (synthetic stand-in for the reference's 13 layers, noise_layers.csv)
+NGRID = 25
+GRID_CELL = 4000.0
+RECT_SIDE = 3600.0
+SOURCES = ["road", "train", "tram", "metro"]
+PROVIDERS = ["hel", "syke"]
+N_LAYERS = len(SOURCES) * len(PROVIDERS)
+LAYER_NAMES = [f"{p}_{s}" for p in PROVIDERS for s in SOURCES]
+# nodata zone: a narrow vertical strip (reference: 22 m municipal
+# boundary strips, get_nodata_areas.py:26) — noise rectangles are
+# clipped out of it, so points inside are genuinely data-free and the
+# kNN ring interpolation branch has real work to do.
+NODATA_X0, NODATA_X1 = 52000.0, 52040.0
+NODATA_RECT = (NODATA_X0, 0.0, NODATA_X1, 131072.0)
+
+
+def _h(col: str, a: int, c: int) -> str:
+    return f"(({col} * {a} + {c}) % {MOD})"
+
+
+# SQL fragments valid in BOTH Spark SQL and DuckDB (shared arithmetic).
+def xy_fragments(id_col: str = "doc_id") -> dict[str, str]:
+    h1, h2 = _h(id_col, A1, C1), _h(id_col, A2, C2)
+    h3, h4 = _h(id_col, A3, C3), _h(id_col, A4, C4)
+    x = f"(CASE WHEN {id_col} % 10 = 0 THEN {HOTSPOT} + ({h1} % 1000) / 10.0 ELSE 100.0 + ({h1} % 998000) / 10.0 END)"
+    y = f"(CASE WHEN {id_col} % 10 = 0 THEN {HOTSPOT} + ({h2} % 1000) / 10.0 ELSE 100.0 + ({h2} % 998000) / 10.0 END)"
+    dx = f"(({h3} % 201 - 100) / 2.0)"
+    dy = f"(({h4} % 201 - 100) / 2.0)"
+    return {"x": x, "y": y, "dx": dx, "dy": dy}
+
+
+def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → the mandated pages schema
+    (url string, warc_ts timestamp, html binary, text string, lang string)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.concat(F.lit("https://example.org/"), F.col("lang"), F.lit("/"), F.col("doc_id")).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
+def page_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-derived points: (doc_id, url, text, lang, x, y) in the metric CRS."""
+    fr = xy_fragments("doc_id")
+    return pages(spark, sf_dir).select(
+        "doc_id", "url", "text", "lang",
+        F.expr(fr["x"]).alias("x"),
+        F.expr(fr["y"]).alias("y"),
+    )
+
+
+def page_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-derived street edges: 2-vertex LineStrings
+    (edge_id, url, text, x1, y1, x2, y2, length)."""
+    fr = xy_fragments("doc_id")
+    return pages(spark, sf_dir).select(
+        F.col("doc_id").alias("edge_id"), "url", "text",
+        F.expr(fr["x"]).alias("x1"),
+        F.expr(fr["y"]).alias("y1"),
+        (F.expr(fr["x"]) + F.expr(fr["dx"])).alias("x2"),
+        (F.expr(fr["y"]) + F.expr(fr["dy"])).alias("y2"),
+        F.sqrt(F.expr(fr["dx"]) * F.expr(fr["dx"]) + F.expr(fr["dy"]) * F.expr(fr["dy"])).alias("length"),
+    )
+
+
+def _layer_grid_np() -> pd.DataFrame:
+    """All noise rectangles: grid + deliberate intra-layer overlaps
+    (reference invalid-overlap dedup, utils.py:112-141)."""
+    gx, gy, lr = np.meshgrid(np.arange(NGRID), np.arange(NGRID), np.arange(N_LAYERS), indexing="ij")
+    gx, gy, lr = gx.ravel(), gy.ravel(), lr.ravel()
+    keep = (gx * 31 + gy * 17 + lr * 7) % 3 != 0
+    gx, gy, lr = gx[keep], gy[keep], lr[keep]
+    minx = gx * GRID_CELL + lr * 250.0
+    miny = gy * GRID_CELL + lr * 250.0
+    db = 45 + 5 * ((gx + gy + lr) % 6)
+    names = np.array(LAYER_NAMES)
+    base = pd.DataFrame({
+        "layer": names[lr],
+        "poly_id": (lr.astype(np.int64) * NGRID * NGRID + gx * NGRID + gy),
+        "minx": minx, "miny": miny,
+        "maxx": minx + RECT_SIDE, "maxy": miny + RECT_SIDE,
+        "db": db.astype(np.int64),
+    })
+    # overlapping duplicates (shifted +900, db+5 capped at 70)
+    dup_mask = (gx + gy) % 5 == 0
+    dup = base[dup_mask].copy()
+    dup["poly_id"] = dup["poly_id"] + 1_000_000
+    for c in ("minx", "miny", "maxx", "maxy"):
+        dup[c] = dup[c] + 900.0
+    dup["db"] = np.minimum(dup["db"] + 5, 70)
+    allr = pd.concat([base, dup], ignore_index=True)
+
+    # clip the nodata strip out of every rectangle (axis-aligned clip
+    # by a vertical strip keeps everything rectangular)
+    x0, x1 = NODATA_X0, NODATA_X1
+    outside = allr[(allr.maxx <= x0) | (allr.minx >= x1)]
+    left = allr[(allr.minx < x0) & (allr.maxx > x0)].copy()
+    left["maxx"] = x0
+    right = allr[(allr.minx < x1) & (allr.maxx > x1)].copy()
+    right["minx"] = x1
+    right["poly_id"] = right["poly_id"] + 2_000_000
+    return pd.concat([outside, left, right], ignore_index=True)
+
+
+def noise_layers(spark: SparkSession) -> DataFrame:
+    """Rectangular noise polygon layers (layer, poly_id, minx..maxy, db)."""
+    return spark.createDataFrame(_layer_grid_np())
+
+
+def sql_points(id_col: str = "doc_id", table: str = "documents") -> str:
+    fr = xy_fragments(id_col)
+    return (
+        f"SELECT {id_col}, text, lang, {fr['x']} AS x, {fr['y']} AS y FROM {table}"
+    )
+
+
+def sql_edges(table: str = "documents") -> str:
+    fr = xy_fragments("doc_id")
+    return (
+        f"SELECT doc_id AS edge_id, text, {fr['x']} AS x1, {fr['y']} AS y1, "
+        f"{fr['x']} + {fr['dx']} AS x2, {fr['y']} + {fr['dy']} AS y2, "
+        f"sqrt({fr['dx']}*{fr['dx']} + {fr['dy']}*{fr['dy']}) AS length FROM {table}"
+    )
+
+
+def sql_layers_duckdb() -> str:
+    """DuckDB-dialect CTE reproducing _layer_grid_np() exactly."""
+    name_case = "CASE lr " + " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(LAYER_NAMES)
+    ) + " END"
+    return f"""
+    WITH grid AS (
+      SELECT g1.range AS gx, g2.range AS gy, lr.range AS lr
+      FROM range(0, {NGRID}) g1, range(0, {NGRID}) g2, range(0, {N_LAYERS}) lr
+      WHERE (g1.range * 31 + g2.range * 17 + lr.range * 7) % 3 != 0
+    ), base AS (
+      SELECT {name_case} AS layer,
+             lr * {NGRID} * {NGRID} + gx * {NGRID} + gy AS poly_id,
+             gx * {GRID_CELL} + lr * 250.0 AS minx,
+             gy * {GRID_CELL} + lr * 250.0 AS miny,
+             gx * {GRID_CELL} + lr * 250.0 + {RECT_SIDE} AS maxx,
+             gy * {GRID_CELL} + lr * 250.0 + {RECT_SIDE} AS maxy,
+             45 + 5 * ((gx + gy + lr) % 6) AS db,
+             gx, gy
+      FROM grid
+    ), allr AS (
+      SELECT layer, poly_id, minx, miny, maxx, maxy, db FROM base
+      UNION ALL
+      SELECT layer, poly_id + 1000000, minx + 900.0, miny + 900.0,
+             maxx + 900.0, maxy + 900.0, least(db + 5, 70) AS db
+      FROM base WHERE (gx + gy) % 5 = 0
+    )
+    SELECT * FROM allr WHERE maxx <= {NODATA_X0} OR minx >= {NODATA_X1}
+    UNION ALL
+    SELECT layer, poly_id, minx, miny, {NODATA_X0} AS maxx, maxy, db
+    FROM allr WHERE minx < {NODATA_X0} AND maxx > {NODATA_X0}
+    UNION ALL
+    SELECT layer, poly_id + 2000000 AS poly_id, {NODATA_X1} AS minx, miny, maxx, maxy, db
+    FROM allr WHERE minx < {NODATA_X1} AND maxx > {NODATA_X1}
+    """

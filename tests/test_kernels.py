@@ -1,0 +1,99 @@
+"""Pure-numpy kernel tests (no Spark) — mirror the reference's
+unit-formula tests (noise_graph_join_test.py:24-31,62-69)."""
+
+import numpy as np
+
+from hope_graph_builder_spark.spatial import cells
+from hope_graph_builder_spark.spatial.kernels import (
+    clip_polygon_convex,
+    point_segment_dist2,
+    points_in_ring,
+    polyline_interpolate,
+    polyline_length,
+    ring_points,
+    shoelace_area,
+)
+from hope_graph_builder_spark.spatial import wkb
+
+
+def test_cell_roundtrip():
+    x = np.array([0.0, 255.9, 256.0, 100000.0])
+    y = np.array([0.0, 10.0, 300.0, 99999.9])
+    c = cells.cells_of_points_np(x, y, 9)
+    res, ix, iy = cells.unpack_cell_np(c)
+    assert (res == 9).all()
+    assert (ix == np.floor(x / 256.0)).all()
+    assert (iy == np.floor(y / 256.0)).all()
+
+
+def test_cover_contains_point_cell():
+    c = cells.cover_bbox_np(100.0, 100.0, 900.0, 400.0, 9)
+    pc = cells.cells_of_points_np(np.array([512.0]), np.array([200.0]), 9)
+    assert pc[0] in set(c.tolist())
+    # bbox spans ix 0..3, iy 0..1 → 8 cells
+    assert len(c) == 8
+
+
+def test_pip_square():
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    px = np.array([5.0, 15.0, -1.0, 9.999])
+    py = np.array([5.0, 5.0, 5.0, 9.999])
+    assert points_in_ring(px, py, ring).tolist() == [True, False, False, True]
+
+
+def test_pip_concave():
+    # L-shape: point in the notch must be outside
+    ring = np.array([[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10], [0, 0]], dtype=float)
+    px = np.array([2.0, 8.0, 8.0])
+    py = np.array([2.0, 2.0, 8.0])
+    assert points_in_ring(px, py, ring).tolist() == [True, True, False]
+
+
+def test_point_segment_dist():
+    d2 = point_segment_dist2(
+        np.array([5.0, -1.0, 11.0]),
+        np.array([3.0, 0.0, 0.0]),
+        np.zeros(3), np.zeros(3), np.full(3, 10.0), np.zeros(3),
+    )
+    assert np.allclose(d2, [9.0, 1.0, 1.0])
+
+
+def test_ring_points_reference_invariants():
+    """Reference: 20 points, each at distance 7 from center
+    (noise_graph_join_test.py:62-69 asserts dist within tolerance)."""
+    pts = ring_points(100.0, 50.0, 7.0, 20)
+    assert pts.shape == (20, 2)
+    d = np.sqrt((pts[:, 0] - 100.0) ** 2 + (pts[:, 1] - 50.0) ** 2)
+    assert np.allclose(d, 7.0)
+
+
+def test_polyline_interpolate_on_line():
+    """Every sample point lies on its edge (reference
+    noise_graph_join_test.py:43-48)."""
+    coords = np.array([[0.0, 0.0], [3.0, 4.0], [6.0, 8.0]])
+    fr = np.array([0.1, 0.5, 0.9])
+    pts = polyline_interpolate(coords, fr)
+    # all points on the straight line y = 4/3 x
+    assert np.allclose(pts[:, 1], pts[:, 0] * 4.0 / 3.0)
+    assert polyline_length(coords) == 10.0
+
+
+def test_clip_and_area():
+    subject = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
+    clip = np.array([[2, -1], [6, -1], [6, 5], [2, 5]], dtype=float)
+    out = clip_polygon_convex(subject, clip)
+    assert np.isclose(shoelace_area(out), 8.0)  # 2x4 strip
+
+
+def test_wkb_roundtrip():
+    xs = np.array([1.5, -2.0])
+    ys = np.array([3.25, 4.0])
+    bufs = wkb.points_to_wkb(xs, ys)
+    x2, y2 = wkb.points_from_wkb(bufs)
+    assert (x2 == xs).all() and (y2 == ys).all()
+    ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    buf = wkb.polygon_to_wkb(ring)
+    out = wkb.polygon_from_wkb(buf)
+    assert out.shape == (5, 2) and (out[0] == out[-1]).all()
+    ls = wkb.linestring_to_wkb(ring)
+    assert (wkb.linestring_from_wkb(ls) == ring).all()
