@@ -1,12 +1,14 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., plus throughput extras}
 
-``--scaling`` mode (used for BENCH/BASELINE.md evidence) re-runs the
-flagship at two parallelism levels in separate JVMs and reports
-throughput at each plus scaling efficiency.
+Headline = the flagship spatial-join + tiling stage at realistic
+density (SPARK_GRAFT_MULT × documents; default 100 → ~500k edges at
+sf0.1, comparable to the reference's 1.28M-edge real workload).
+
+Child mode (used by tools/bench_scaling.py):
+  python bench.py --child <cpus>   → one JSON line with timings
 """
 
 from __future__ import annotations
@@ -17,55 +19,82 @@ import sys
 import time
 
 
-def _headline_queries():
-    from hope_graph_builder_spark import contract
+def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
+    from pyspark.sql import functions as F
 
-    q = contract.queries()
-    names = [
-        "noise_exposures",
-        "pip_point_layers",
-        "dwithin_pages_edges",
-        "point_cells",
-        "edge_sampling",
-    ]
-    return {n: q[n] for n in names if n in q}
-
-
-def run(sf_dir: str, cpus: int) -> dict:
+    from hope_graph_builder_spark import synth
+    from hope_graph_builder_spark.operators.spatial_join import (
+        dwithin_join,
+        pip_join_rect,
+        with_point_cell,
+    )
+    from hope_graph_builder_spark.pipelines.noise_join import run_noise_join
     from hope_graph_builder_spark.session import get_spark
 
     spark = get_spark(app=f"bench[{cpus}]", cpus=cpus)
+    layers = synth.noise_layers(spark)
     timings: dict[str, float] = {}
-    for name, fn in _headline_queries().items():
+    rows: dict[str, int] = {}
+
+    def bench(name, df):
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-    return timings
+
+    edges = synth.page_edges_dense(spark, sf_dir, mult)
+    points = synth.page_points_dense(spark, sf_dir, mult)
+
+    bench("point_cells", with_point_cell(points, "x", "y", 9))
+    bench(
+        "pip_join",
+        pip_join_rect(points, layers, res=9, how="inner", point_id="doc_id"),
+    )
+    bench(
+        "dwithin_join",
+        dwithin_join(
+            points,
+            synth.page_edges_dense(spark, sf_dir, max(mult // 10, 1)),
+            dist=30.0,
+            res=9,
+        ),
+    )
+    bench(
+        "flagship_noise_join",
+        run_noise_join(edges, layers, synth.NODATA_RECT, res=9),
+    )
+    return timings, rows
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("SPARK_GRAFT_MULT", "100"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 
-    if "--scaling" in sys.argv:
-        # child mode: run once at given cpus, print json
-        timings = run(sf_dir, cpus)
-        print(json.dumps({"cpus": cpus, "queries": timings}))
+    if "--child" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--child") + 1])
+        timings, rows = run(sf_dir, cpus, mult)
+        print(json.dumps({"cpus": cpus, "queries": timings, "rows": rows}))
         return
 
-    timings = run(sf_dir, cpus)
+    timings, rows = run(sf_dir, cpus, mult)
     total = round(sum(timings.values()), 3)
+    n_edges = rows.get("flagship_noise_join", 0)
+    fl = timings.get("flagship_noise_join", 1.0)
     print(
         json.dumps(
             {
-                "metric": "spatial-join+tiling headline queries wall time",
+                "metric": "spatial-join+tiling wall time (headline: flagship noise join)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "mult": mult,
+                "rows": rows,
+                "flagship_edges_per_sec": round(n_edges / fl, 1) if fl else None,
             }
         )
     )

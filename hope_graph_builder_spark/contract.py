@@ -171,3 +171,10 @@ def q_edge_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_samples"),
         (F.count("*") * F.min("sample_len")).alias("total_len"),
     )
+
+
+# Register the relational + text/dedup/similarity batteries (they import
+# `register` from this module, so import them last).
+from hope_graph_builder_spark import contract_relational  # noqa: E402,F401
+from hope_graph_builder_spark import contract_text  # noqa: E402,F401
+from hope_graph_builder_spark import contract_pipelines  # noqa: E402,F401

@@ -1,0 +1,288 @@
+"""Contract entries for the GVI, overlay, export and graph-import
+pipelines (reference §3.2-§3.3 operators: J4/A10/A11, J7/A9/J8,
+F12-F18, P2/P3/J10/G1-G4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark import synth
+from hope_graph_builder_spark.contract import register
+from hope_graph_builder_spark.functions.rowexprs import (
+    biking_length,
+    geojson_line_feature,
+    mean_noise_level,
+    noise_bucket,
+    noises_with_db40,
+    residual_db40,
+)
+from hope_graph_builder_spark.pipelines.graph_import import (
+    build_graph,
+    edges_with_attrs,
+    filter_traversable,
+    run_graph_import,
+)
+from hope_graph_builder_spark.pipelines.green_view import (
+    gvi_mean_per_edge,
+    rescale_gvi,
+    update_gvi_attributes,
+)
+from hope_graph_builder_spark.pipelines.noise_join import run_noise_join
+from hope_graph_builder_spark.pipelines.overlay import overlay_share_rect
+from hope_graph_builder_spark.oracle import flagship_ctes
+
+
+def _edges(spark, sf_dir):
+    return synth.page_edges(spark, sf_dir)
+
+
+# ------------------------------------------------------------ green view --
+
+_SQL_GVI_MEAN = f"""
+WITH pts AS (SELECT gvi_id, x, y, round_even(gvi_raw / 100.0, 3) AS GVI
+             FROM ({{gvi_pts}}) g),
+edges AS ({{edges}}),
+j AS (
+  SELECT e.edge_id, e.length, p.GVI
+  FROM edges e JOIN pts p ON (
+    CASE WHEN (e.x2-e.x1)*(e.x2-e.x1) + (e.y2-e.y1)*(e.y2-e.y1) > 0 THEN
+      (p.x - (e.x1 + least(greatest(((p.x-e.x1)*(e.x2-e.x1) + (p.y-e.y1)*(e.y2-e.y1))
+          / ((e.x2-e.x1)*(e.x2-e.x1) + (e.y2-e.y1)*(e.y2-e.y1)), 0.0), 1.0) * (e.x2-e.x1)))
+      * (p.x - (e.x1 + least(greatest(((p.x-e.x1)*(e.x2-e.x1) + (p.y-e.y1)*(e.y2-e.y1))
+          / ((e.x2-e.x1)*(e.x2-e.x1) + (e.y2-e.y1)*(e.y2-e.y1)), 0.0), 1.0) * (e.x2-e.x1)))
+      + (p.y - (e.y1 + least(greatest(((p.x-e.x1)*(e.x2-e.x1) + (p.y-e.y1)*(e.y2-e.y1))
+          / ((e.x2-e.x1)*(e.x2-e.x1) + (e.y2-e.y1)*(e.y2-e.y1)), 0.0), 1.0) * (e.y2-e.y1)))
+      * (p.y - (e.y1 + least(greatest(((p.x-e.x1)*(e.x2-e.x1) + (p.y-e.y1)*(e.y2-e.y1))
+          / ((e.x2-e.x1)*(e.x2-e.x1) + (e.y2-e.y1)*(e.y2-e.y1)), 0.0), 1.0) * (e.y2-e.y1)))
+    ELSE (p.x - e.x1)*(p.x - e.x1) + (p.y - e.y1)*(p.y - e.y1) END
+  ) <= 900.0
+)
+SELECT edge_id, n,
+       CASE WHEN n >= (CASE WHEN length > 20.0 THEN floor((length / 10.0) * 0.5) ELSE 1 END)
+            THEN round_even(CAST(s AS DOUBLE) / n, 2) END AS mean_gvi
+FROM (SELECT edge_id, count(*) AS n, sum(CAST(GVI AS DECIMAL(9,3))) AS s,
+             min(length) AS length
+      FROM j GROUP BY edge_id)
+"""
+
+
+@register(
+    "gvi_mean_per_edge",
+    _SQL_GVI_MEAN.format(gvi_pts=synth.sql_gvi_points(), edges=synth.sql_edges()),
+)
+def q_gvi_mean(spark, sf_dir):
+    """J4+A10+A11: DWithin(30 m) GVI samples → gated mean per edge."""
+    pts = rescale_gvi(synth.gvi_points(spark, sf_dir))
+    return gvi_mean_per_edge(_edges(spark, sf_dir), pts)
+
+
+@register("gvi_attributes")  # rows-only: composition (oracle-checked parts above)
+def q_gvi_attributes(spark, sf_dir):
+    """F18/G5 write-back: combined GVI columns per edge."""
+    edges = _edges(spark, sf_dir)
+    pts = rescale_gvi(synth.gvi_points(spark, sf_dir))
+    mean_gvi = gvi_mean_per_edge(edges, pts)
+    shares = overlay_share_rect(edges, synth.veg_rects(spark)).groupBy("edge_id").pivot(
+        "veg_class", ["low", "high"]
+    ).agg(F.first("share"))
+    shares = shares.select(
+        "edge_id",
+        F.bround(F.coalesce("low", F.lit(0.0)), 3).alias("low_veg_share"),
+        F.bround(F.coalesce("high", F.lit(0.0)), 3).alias("high_veg_share"),
+    )
+    return update_gvi_attributes(edges, mean_gvi, shares)
+
+
+# --------------------------------------------------------------- overlay --
+
+@register(
+    "overlay_veg_share",
+    f"""
+    WITH edges AS ({synth.sql_edges()}),
+    veg AS ({synth.sql_veg_duckdb()}),
+    b AS (
+      SELECT edge_id,
+             least(x1, x2) - 30.0 AS bminx, greatest(x1, x2) + 30.0 AS bmaxx,
+             least(y1, y2) - 30.0 AS bminy, greatest(y1, y2) + 30.0 AS bmaxy,
+             -- same op order as the engine: (max+30) - (min-30), not (max-min)+60
+             ((greatest(x1, x2) + 30.0) - (least(x1, x2) - 30.0))
+             * ((greatest(y1, y2) + 30.0) - (least(y1, y2) - 30.0)) AS buf_area
+      FROM edges
+    ),
+    inter AS (
+      SELECT b.edge_id, v.veg_class, v.poly_id, b.buf_area,
+             CAST(floor(greatest(0.0, least(b.bmaxx, v.maxx) - greatest(b.bminx, v.minx))
+                  * greatest(0.0, least(b.bmaxy, v.maxy) - greatest(b.bminy, v.miny))
+                  * 1000000.0) AS BIGINT) AS area_q
+      FROM b JOIN veg v
+        ON b.bminx < v.maxx AND b.bmaxx > v.minx AND b.bminy < v.maxy AND b.bmaxy > v.miny
+    )
+    SELECT edge_id, veg_class,
+           (CAST(sum(area_q) AS DOUBLE) / 1000000.0) / min(buf_area) AS share
+    FROM inter WHERE area_q > 0 GROUP BY edge_id, veg_class
+    """,
+)
+def q_overlay(spark, sf_dir):
+    """J7+A9+J8: buffer × vegetation overlay, dissolved share per edge."""
+    return overlay_share_rect(_edges(spark, sf_dir), synth.veg_rects(spark))
+
+
+# ---------------------------------------------------------------- export --
+
+@register(
+    "export_noise_stats",
+    f"""
+    WITH {flagship_ctes()},
+    exp AS (
+      SELECT edge_id, CAST(n_max_adj AS INT) AS db,
+             round_even(count(*) * min(sample_len), 5) AS exposure
+      FROM final_samples WHERE n_max_adj IS NOT NULL
+      GROUP BY edge_id, n_max_adj
+    ),
+    edge_exp AS (
+      SELECT e.edge_id, e.length,
+             coalesce(x.tot, 0.0) AS noise_len,
+             coalesce(x.s, 0.0) AS weighted
+      FROM edges e LEFT JOIN (
+        SELECT edge_id,
+               CAST(sum(CAST(exposure AS DECIMAL(20,5))) AS DOUBLE) AS tot,
+               CAST(sum(CAST((db + 2.5) AS DECIMAL(10,1)) * CAST(exposure AS DECIMAL(20,5))) AS DOUBLE) AS s
+        FROM exp GROUP BY edge_id
+      ) x USING (edge_id)
+    )
+    SELECT edge_id,
+           round_even(weighted / length, 1) AS mean_db,
+           CASE WHEN length - noise_len > 0 THEN length - noise_len ELSE 0.0 END AS db40_len
+    FROM edge_exp
+    """,
+)
+def q_export_noise_stats(spark, sf_dir):
+    """F13+F14 on the flagship output maps (decimal inner products —
+    order-free, oracle-exact)."""
+    edges = _edges(spark, sf_dir)
+    noises = run_noise_join(edges, synth.noise_layers(spark), synth.NODATA_RECT, res=9)
+    j = noises.join(edges.select("edge_id", "length"), "edge_id")
+    # decimal-exact Σ(db+2.5)·exposure to mirror the oracle
+    s = F.aggregate(
+        F.map_entries("noises"),
+        F.lit(0).cast("decimal(30,10)"),
+        lambda a, e: (
+            a + (e["key"] + F.lit(2.5)).cast("decimal(10,1)") * e["value"].cast("decimal(20,5)")
+        ).cast("decimal(30,10)"),
+    ).cast("double")
+    tot = F.aggregate(
+        F.map_entries("noises"),
+        F.lit(0).cast("decimal(30,10)"),
+        lambda a, e: (a + e["value"].cast("decimal(20,5)")).cast("decimal(30,10)"),
+    ).cast("double")
+    return j.select(
+        "edge_id",
+        F.bround(s / F.col("length"), 1).alias("mean_db"),
+        F.when(F.col("length") - tot > 0, F.col("length") - tot)
+        .otherwise(F.lit(0.0))
+        .alias("db40_len"),
+    )
+
+
+@register(
+    "export_biking_len",
+    f"""
+    WITH edges AS ({synth.sql_edges()})
+    SELECT edge_id,
+           round_even(length * (1.0 + (((edge_id * {synth.A3} + {synth.C3}) % {synth.MOD}) % 100) / 100.0), 3)
+           AS biking_len
+    FROM edges
+    """,
+)
+def q_biking(spark, sf_dir):
+    """F15: biking length = round(length × safety factor, 3)."""
+    e = edges_with_attrs(spark, sf_dir)
+    return e.select(
+        "edge_id", biking_length(F.col("length"), F.col("bike_safety_factor")).alias("biking_len")
+    )
+
+
+@register("export_geojson")  # rows-only (JSON text formatting is engine-specific)
+def q_geojson(spark, sf_dir):
+    """S11/F20: line-delimited GeoJSON features with bucketed noise."""
+    edges = _edges(spark, sf_dir)
+    noises = run_noise_join(edges, synth.noise_layers(spark), synth.NODATA_RECT, res=9)
+    j = noises.join(edges, "edge_id")
+    return j.select(
+        geojson_line_feature(
+            F.col("edge_id"),
+            F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+            {"noise_source": F.col("noise_source")},
+        ).alias("feature")
+    )
+
+
+# ----------------------------------------------------------- graph import --
+
+@register(
+    "gi_p2_filter",
+    f"""
+    WITH e AS (
+      SELECT doc_id AS edge_id,
+             ((doc_id * {synth.A1} + {synth.C1}) % {synth.MOD}) % 5 != 0 AS allows_walking,
+             ((doc_id * {synth.A2} + {synth.C2}) % {synth.MOD}) % 3 != 0 AS allows_biking,
+             ((doc_id * {synth.A3} + {synth.C3}) % {synth.MOD}) % 7 = 0 AS is_no_thru_traffic
+      FROM documents
+    )
+    SELECT edge_id FROM e
+    WHERE (allows_walking OR allows_biking) AND NOT is_no_thru_traffic
+    """,
+)
+def q_gi_p2(spark, sf_dir):
+    """P2 boolean predicate filter (otp_graph_import.py:66-74)."""
+    return filter_traversable(edges_with_attrs(spark, sf_dir)).select("edge_id")
+
+
+@register(
+    "gi_node_remap",
+    f"""
+    WITH edges AS ({synth.sql_edges()})
+    SELECT edge_id,
+           CAST(floor(round_even(x1, 1) * 10.0 + 0.5) AS BIGINT) * 10000000
+           + CAST(floor(round_even(y1, 1) * 10.0 + 0.5) AS BIGINT) AS src,
+           CAST(floor(round_even(x2, 1) * 10.0 + 0.5) AS BIGINT) * 10000000
+           + CAST(floor(round_even(y2, 1) * 10.0 + 0.5) AS BIGINT) AS dst
+    FROM edges
+    """,
+)
+def q_gi_remap(spark, sf_dir):
+    """J10/G1: endpoint quantization → node ids."""
+    _, e = build_graph(_edges(spark, sf_dir))
+    return e.select("edge_id", "src", "dst")
+
+
+@register("gi_full_import")  # rows-only: includes iterative CC cleanup
+def q_gi_full(spark, sf_dir):
+    nodes, edges = run_graph_import(spark, sf_dir)
+    return nodes.select("id", "new_id")
+
+
+# -------------------------------------------------------------- WKT (F1) --
+
+@register(
+    "wkt_points",
+    f"""
+    WITH pts AS ({synth.sql_points()}),
+    w AS (SELECT doc_id, 'POINT (' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ')' AS wkt
+          FROM pts)
+    SELECT doc_id,
+           CAST(string_split(trim(regexp_extract(wkt, '\\(([^)]*)\\)', 1)), ' ')[1] AS DOUBLE) AS px,
+           CAST(string_split(trim(regexp_extract(wkt, '\\(([^)]*)\\)', 1)), ' ')[2] AS DOUBLE) AS py
+    FROM w
+    """,
+)
+def q_wkt_points(spark, sf_dir):
+    """S1/F1: WKT point round-trip (format then parse, both native).
+    NB: double→string uses shortest-repr in both engines; the parse
+    cast is correctly rounded, so the round-trip is exact."""
+    from hope_graph_builder_spark.spatial.wkt import format_point_expr, parse_point_expr
+
+    pts = synth.page_points(spark, sf_dir).select("doc_id", "x", "y")
+    w = pts.select("doc_id", format_point_expr(F.col("x"), F.col("y")).alias("wkt"))
+    px, py = parse_point_expr(F.col("wkt"))
+    return w.select("doc_id", px.alias("px"), py.alias("py"))

@@ -1,0 +1,334 @@
+"""Contract entries for the training-data-pipeline operators: dedup,
+text analysis, similarity search, multimodal plumbing, graph CC.
+
+Oracle twins reproduce the exact same md5-derived hashing and
+sequential-fold float arithmetic (validated primitives, oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark import synth
+from hope_graph_builder_spark.contract import register
+from hope_graph_builder_spark.operators import dedup, multimodal, similarity, text
+from hope_graph_builder_spark.operators.graph import connected_components
+
+_H60 = "CAST(('0x' || substr(md5({expr}),1,15)) AS BIGINT)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# DuckDB twins of the dedup building blocks -------------------------------
+
+_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+_SQL_SHINGLES = f"""
+  list_distinct(CASE WHEN len({_SQL_TOKENS}) >= 3
+    THEN list_transform(range(1, len({_SQL_TOKENS}) - 1),
+                        i -> array_to_string(list_slice({_SQL_TOKENS}, i, i + 2), ' '))
+    ELSE [array_to_string({_SQL_TOKENS}, ' ')] END)
+"""
+
+
+def _sql_minhash_sig() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5(s || ':{j}'),1,15)) AS BIGINT)))"
+        for j in range(dedup.NUM_HASHES)
+    )
+    return f"""
+    SELECT doc_id, [{mins}] AS sig
+    FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    """
+
+
+@register(
+    "d_exact_dedup",
+    """
+    SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "d_minhash_sig",
+    f"""
+    SELECT doc_id, array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig_str
+    FROM ({_sql_minhash_sig()})
+    """,
+)
+def q_minhash_sig(spark, sf_dir):
+    sigs = dedup.minhash_signature(_docs(spark, sf_dir))
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("sig", lambda x: x.cast("string"))).alias("sig_str"),
+    )
+
+
+@register(
+    "d_minhash_pairs",
+    f"""
+    WITH sigs AS ({_sql_minhash_sig()}),
+    bb AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(list_transform(
+                 list_slice(sig, b.range * 4 + 1, b.range * 4 + 4),
+                 x -> CAST(x AS VARCHAR)), ',')) AS bucket
+      FROM sigs, range(0, {dedup.BANDS}) b
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    """,
+)
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_dup_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "d_simhash",
+    f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform(list_distinct({_SQL_TOKENS}),
+                            t -> CAST(('0x' || substr(md5(t),1,15)) AS BIGINT)) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 16), b ->
+             CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) >= len(hs)
+                  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+    FROM th
+    """,
+)
+def q_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+
+
+@register(
+    "d_ngram_jaccard",
+    f"""
+    WITH base AS (SELECT doc_id, lang, {_SQL_SHINGLES} AS sh FROM documents)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           round_even(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+    FROM base x JOIN base y ON x.lang = y.lang AND x.doc_id < y.doc_id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    p = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return p.select("a", "b", F.bround("jaccard", 6).alias("jaccard"))
+
+
+# ------------------------------------------------------------------ text --
+
+@register(
+    "t_token_count",
+    f"SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents",
+)
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def _sql_occ(padded: str, needle: str) -> str:
+    return f"CAST((length({padded}) - length(replace({padded}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+
+
+def _sql_marker(lang: str) -> str:
+    p = "(' ' || lower(text) || ' ')"
+    return " + ".join(_sql_occ(p, f" {w} ") for w in text.LANG_MARKERS[lang])
+
+
+@register(
+    "t_lang_id",
+    f"""
+    SELECT doc_id,
+      CASE {' '.join(f"WHEN s_{lg} > 0 AND s_{lg} = best THEN '{lg}'" for lg in text.LANG_MARKERS)}
+           ELSE 'und' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+             {', '.join(f'({_sql_marker(lg)}) AS s_{lg}' for lg in text.LANG_MARKERS)},
+             greatest({', '.join(f'({_sql_marker(lg)})' for lg in text.LANG_MARKERS)}) AS best
+      FROM documents
+    )
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "t_quality",
+    f"""
+    SELECT doc_id, round_even(
+      0.4 * least(1.0, CAST(len({_SQL_TOKENS}) AS DOUBLE) / 100.0)
+      + 0.3 * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+          THEN CAST({_sql_occ('text', '.')} + {_sql_occ('text', ',')} + {_sql_occ('text', '!')} AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 10.0)
+      + 0.3 * least(1.0, (CASE WHEN len({_SQL_TOKENS}) > 0
+          THEN CAST({_sql_marker('en')} AS DOUBLE) / CAST(len({_SQL_TOKENS}) AS DOUBLE)
+          ELSE 0.0 END) * 8.0), 6) AS quality
+    FROM documents
+    """,
+)
+def q_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.bround(text.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@register(
+    "t_fingerprint",
+    f"SELECT doc_id, md5(array_to_string({_SQL_TOKENS}, ' ')) AS fp FROM documents",
+)
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ------------------------------------------------------------ similarity --
+
+_SQL_VDOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),"
+    " (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "e_cosine_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_SQL_VDOT.format(a='q.embedding', b='c.embedding')}
+             / (sqrt({_SQL_VDOT.format(a='q.embedding', b='q.embedding')})
+                * sqrt({_SQL_VDOT.format(a='c.embedding', b='c.embedding')})) AS cos
+      FROM c, q WHERE q.vec_id != c.vec_id
+    )
+    SELECT query_id, cand_id, round_even(cos, 9) AS cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.select(
+        "query_id", "cand_id", F.bround("cos", 9).alias("cos"), F.col("rank").alias("rnk")
+    )
+
+
+def _sql_lsh_bucket(vec: str) -> str:
+    terms = []
+    for j in range(similarity.LSH_BITS):
+        w = "[" + ", ".join(
+            repr(similarity.lsh_plane_weight(j, k)) for k in range(similarity.DIM)
+        ) + "]"
+        dotv = _SQL_VDOT.format(a=vec, b=w)
+        terms.append(f"(CASE WHEN {dotv} >= 0.0 THEN (1::BIGINT << {j}) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "e_lsh_buckets",
+    f"SELECT vec_id, {_sql_lsh_bucket('embedding')} AS bucket FROM embeddings",
+)
+def q_lsh_buckets(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    v = similarity._as_double(F.col("embedding"))
+    return emb.select("vec_id", similarity.sign_lsh_bucket(v).alias("bucket"))
+
+
+@register("e_ann_lsh_topk")  # rows-only: composition of oracle-checked parts
+def q_ann_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# ------------------------------------------------------------ multimodal --
+
+@register(
+    "m_page_meta",
+    """
+    SELECT 'https://example.org/' || lang || '/' || doc_id AS url,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           lower(hex(substr(text, 1, 4))) AS magic
+    FROM documents
+    """,
+)
+def q_page_meta(spark, sf_dir):
+    """Binary-column metadata (ascii corpus ⇒ byte length == char
+    length; validated in tests)."""
+    pages = synth.pages(spark, sf_dir)
+    return pages.select(
+        "url",
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.substring(F.col("html"), 1, 4))).alias("magic"),
+    )
+
+
+@register("m_features")  # rows-only: pandas-UDF decode stub
+def q_m_features(spark, sf_dir):
+    return multimodal.extract_features(synth.pages(spark, sf_dir))
+
+
+# ------------------------------------------------------------------ graph --
+
+N_GRAPH_NODES = 2000
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = synth.xy_fragments("doc_id")
+    d = _docs(spark, sf_dir)
+    h1 = f"((doc_id * {synth.A1} + {synth.C1}) % {synth.MOD})"
+    h2 = f"((doc_id * {synth.A2} + {synth.C2}) % {synth.MOD})"
+    return d.select(
+        F.expr(f"{h1} % {N_GRAPH_NODES}").alias("src"),
+        F.expr(f"{h2} % {N_GRAPH_NODES}").alias("dst"),
+    )
+
+
+@register(
+    "g_connected_components",
+    f"""
+    WITH e AS (
+      SELECT ((doc_id * {synth.A1} + {synth.C1}) % {synth.MOD}) % {N_GRAPH_NODES} AS src,
+             ((doc_id * {synth.A2} + {synth.C2}) % {synth.MOD}) % {N_GRAPH_NODES} AS dst
+      FROM documents
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM sym),
+    walk AS (
+      WITH RECURSIVE w(id, seed) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.b, w.seed FROM w JOIN sym s ON s.a = w.id
+      ) SELECT * FROM w
+    )
+    SELECT id, min(seed) AS component FROM walk GROUP BY id
+    """,
+)
+def q_connected_components(spark, sf_dir):
+    """G2 re-expression: iterative min-label propagation; DuckDB oracle
+    is a recursive-CTE reachability closure."""
+    return connected_components(_graph_edges(spark, sf_dir))

@@ -1,0 +1,155 @@
+"""Deduplication operators for web-scale corpora (task brief):
+exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+
+Column-native end to end: shingle hashes are md5-derived 60-bit ints
+(``conv(substr(md5(s),1,15),16,10)`` — validated bit-equal to DuckDB's
+``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``), min-hashed with k
+salted variants, banded for LSH candidate generation.
+
+Scale notes:
+- exact/minhash/simhash are one groupBy/self-equi-join on a hash key —
+  shuffle on a well-distributed key, no skew.
+- ngram_jaccard_pairs is the quadratic verifier; at 100 TB it runs
+  ONLY on LSH candidate pairs (minhash_dup_pairs feeds it), never as
+  a blind blocked self-join. The blocked form here is the small-scale
+  oracle baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark.operators.text import tokens
+
+NUM_HASHES = 16
+BANDS = 4  # 4 rows per band
+
+
+def hash60(s: Column) -> Column:
+    """60-bit integer hash from md5 — engine-portable (no xxhash in
+    DuckDB, no native md5→int in Spark; this composition is exact in
+    both)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the lowercased text; whole text when
+    shorter than n tokens."""
+    toks = tokens(F.lower(text))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5(text) → (hash, keeper=min id, cnt). Keeper-join
+    back to drop duplicates; one shuffle on the digest."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("cnt"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = NUM_HASHES
+) -> DataFrame:
+    """(id, sig: array<long>[k]) — min over shingles of k salted hashes.
+
+    NB: the per-j lambda must be unary — a 2-arg lambda makes Spark's
+    ``transform`` pass the array INDEX as the second argument."""
+    sh = shingles(F.col(text_col))
+
+    def minhash_j(j: int):
+        salt = F.lit(f":{j}")
+        return F.array_min(F.transform(sh, lambda s: hash60(F.concat(s, salt))))
+
+    sig = F.array(*[minhash_j(j) for j in range(k)])
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_band_buckets(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = BANDS, k: int = NUM_HASHES
+) -> DataFrame:
+    """LSH banding: (id, band, bucket) — md5 over each band's row
+    values. Docs sharing any (band, bucket) are candidate duplicates."""
+    rows = k // bands
+    out = []
+    for b in range(bands):
+        vals = [F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)]
+        out.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws(",", *[v.cast("string") for v in vals])).alias("bucket"))
+        )
+    return sigs.select(id_col, F.explode(F.array(*out)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) from LSH buckets —
+    self-equi-join on (band, bucket), distinct pairs."""
+    bb = minhash_band_buckets(minhash_signature(df, text_col, id_col), id_col)
+    a = bb.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = bb.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"], "inner")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over token hashes: bit b set iff the majority of
+    tokens have bit b set. Native bit arithmetic over one token-hash
+    array (tokens hashed once)."""
+    thash = F.transform(F.array_distinct(tokens(F.lower(text))), lambda t: hash60(t))
+    ntok = F.size(thash)
+
+    def bit_term(b: int):
+        cnt = F.size(
+            F.filter(thash, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == F.lit(1))
+        )
+        return F.when(cnt * 2 >= ntok, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    acc = F.lit(0).cast("long")
+    for b in range(16):
+        acc = acc + bit_term(b)
+    return acc
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+) -> DataFrame:
+    """Blocked n-gram Jaccard: pairs within a block with
+    |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Baseline verifier — at scale
+    run it on LSH candidates instead of blocked cross products."""
+    base = df.select(
+        F.col(id_col), F.col(block_col).alias("_blk"), shingles(F.col(text_col)).alias("sh")
+    )
+    a = base.select(F.col(id_col).alias("a"), "_blk", F.col("sh").alias("sha"))
+    b = base.select(F.col(id_col).alias("b"), "_blk", F.col("sh").alias("shb"))
+    j = (
+        a.join(b, "_blk", "inner")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sha") + F.size("shb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("a", "b", "jaccard")

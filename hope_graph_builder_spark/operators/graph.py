@@ -1,0 +1,113 @@
+"""Graph operators re-expressed as DataFrame iterations (reference
+§2.8: `/root/reference/src/otp_graph_import/otp_graph_import.py:143-218`).
+
+The reference uses igraph's in-memory SCC decompose to drop small
+components (G2), removes isolated nodes (G3) and re-densifies ids
+(G4). Here: iterative small-message label propagation with
+localCheckpoint per round (lineage cut), then plain joins/windows.
+
+Scale notes: each round is one shuffle on the node id; rounds ≈ graph
+diameter (street networks: tens). localCheckpoint keeps the plan from
+growing; at cluster scale use reliable checkpoint dirs instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Weak connected components: (id, component) with component = min
+    node id in the component. Undirected closure of the edge list.
+
+    Reference twin: igraph decompose (otp_graph_import.py:161-176) —
+    the reference uses STRONG mode on a street graph whose edges are
+    overwhelmingly paired; weak CC is the distributed re-expression
+    (documented deviation for one-way-only subgraphs)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .union(sym.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    sym = sym.localCheckpoint()
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.b == labels.id, "inner")
+            .groupBy("a")
+            .agg(F.min("component").alias("nc"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == neigh_min.a, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nc"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("nc") < F.col("component")).alias("_chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def component_sizes(cc: DataFrame) -> DataFrame:
+    """Size histogram (reference logs it, otp_graph_import.py:168-176)."""
+    return cc.groupBy("component").agg(F.count("*").alias("n_nodes"))
+
+
+def drop_small_components(
+    edges: DataFrame,
+    cc: DataFrame,
+    min_nodes: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Keep only edges whose src belongs to a big-enough component
+    (reference deletes components ≤ threshold, otp_graph_import.py:178-199)."""
+    big = (
+        component_sizes(cc)
+        .filter(F.col("n_nodes") > min_nodes)
+        .select("component")
+    )
+    keep = cc.join(F.broadcast(big), "component", "inner").select(F.col("id"))
+    return (
+        edges.join(keep.withColumnRenamed("id", src), src, "inner")
+    )
+
+
+def remove_isolated_nodes(nodes: DataFrame, edges: DataFrame, id_col: str = "id",
+                          src: str = "src", dst: str = "dst") -> DataFrame:
+    """G3 (otp_graph_import.py:201-208): nodes with degree 0 dropped —
+    left-semi join against the union of surviving endpoints."""
+    used = (
+        edges.select(F.col(src).alias(id_col))
+        .union(edges.select(F.col(dst).alias(id_col)))
+        .distinct()
+    )
+    return nodes.join(used, id_col, "left_semi")
+
+
+def redensify_ids(nodes: DataFrame, id_col: str = "id") -> DataFrame:
+    """G4 (otp_graph_import.py:210-218): dense 0..n-1 ids by old-id
+    order — row_number window (single global sort; at scale use
+    zipWithIndex-style per-partition offsets)."""
+    w = Window.orderBy(F.col(id_col))
+    return nodes.withColumn("new_id", F.row_number().over(w) - 1)

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (task brief):
+brute-force cosine top-k baseline + sign-LSH bucketed ANN scale path.
+
+Dot products are sequential folds (F.aggregate) over double-cast
+arrays — deterministic and bit-identical to DuckDB's list_reduce, so
+even the float scores oracle-compare exactly.
+
+Scale notes: brute force is a broadcast of the (small) query set
+against the full corpus — O(Q×N) but embarrassingly parallel and
+shuffle-free until the final per-query top-k (a tiny groupBy). The
+sign-LSH variant buckets the corpus once (one narrow projection), then
+joins query buckets to corpus buckets — candidate set shrinks ~2^bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+LSH_BITS = 8
+DIM = 64
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold — same evaluation order as DuckDB list_reduce."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k by cosine; deterministic tie-break on
+    corpus id. Query side is broadcast (small by construction)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def lsh_plane_weight(j: int, k: int) -> float:
+    """Deterministic pseudo-random hyperplane component — pure rational
+    arithmetic so any engine reproduces it exactly."""
+    return ((j * 37 + k * 101) % 19 - 9) / 9.0
+
+
+def sign_lsh_bucket(v: Column, bits: int = LSH_BITS, dim: int = DIM) -> Column:
+    """Bucket id = Σ_j (dot(v, plane_j) ≥ 0) << j over ``bits`` fixed
+    hyperplanes (literal weight arrays, sequential fold dot)."""
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        w = F.array(*[F.lit(lsh_plane_weight(j, k)) for k in range(dim)])
+        d = dot(v, w)
+        acc = acc + F.when(d >= 0.0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = LSH_BITS,
+    dim: int = DIM,
+) -> DataFrame:
+    """ANN: restrict brute force to same-LSH-bucket candidates."""
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        sign_lsh_bucket(_as_double(F.col(vec_col)), bits, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        sign_lsh_bucket(_as_double(F.col(vec_col)), bits, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket", "inner")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

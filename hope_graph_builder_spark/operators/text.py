@@ -1,0 +1,90 @@
+"""Text-analysis operators over the pages/documents table — the
+training-data-pipeline extensions (task brief): language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All Column-native (JVM-side, codegen'd); every function has an exact
+DuckDB oracle twin in contract_text.py. Cross-engine-safe building
+blocks only: md5, split-on-literal-space, length/replace counting —
+no locale- or regex-engine-sensitive constructs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language → marker words (occurrence-counted with spaces around them)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "de"],
+    "zh": ["zh"],  # synthetic corpora tag; real impl would use n-grams
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (split on literal space)."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count of ``needle`` in text via the length/replace trick —
+    byte-exact in any engine."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def _padded(text: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+
+def marker_score(text: Column, lang: str) -> Column:
+    p = _padded(text)
+    s = None
+    for w in LANG_MARKERS[lang]:
+        c = occurrences(p, f" {w} ")
+        s = c if s is None else (s + c)
+    return s
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID with a deterministic tie-break (CASE
+    chain order). A real pipeline would use char n-gram profiles; the
+    operator shape (per-row scoring → argmax) is identical."""
+    scores = {lg: marker_score(text, lg) for lg in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lg in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lg] > 0) & (scores[lg] == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Length/punctuation/stopword heuristic quality in [0, 1]:
+    0.4·min(1, ntok/100) + 0.3·(1 − punct_ratio·10 clamped)
+    + 0.3·min(1, stopword_ratio·8)."""
+    ntok = token_count(text).cast("double")
+    nch = F.length(text).cast("double")
+    punct = (occurrences(text, ".") + occurrences(text, ",") + occurrences(text, "!")).cast("double")
+    stop = marker_score(text, "en").cast("double")
+    punct_ratio = F.when(nch > 0, punct / nch).otherwise(F.lit(0.0))
+    stop_ratio = F.when(ntok > 0, stop / ntok).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), ntok / F.lit(100.0))
+        + F.lit(0.3) * F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * F.lit(10.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(8.0))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercased text."""
+    norm = F.concat_ws(" ", tokens(F.lower(text)))
+    return F.md5(norm)

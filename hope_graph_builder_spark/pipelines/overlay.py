@@ -1,0 +1,125 @@
+"""Land-cover overlay analysis — reference J7/A9/J8
+(`/root/reference/src/green_view_join_v1/land_cover_overlay_analysis.py:58-233`):
+PostGIS ST_Intersects join of 30 m edge buffers × vegetation polygons,
+ST_Intersection + per-edge dissolve, share = veg_area / buffer_area.
+
+Re-expression: cell-cover equi-join prefilter + exact rectangle
+intersection areas (native arithmetic). Two paths:
+
+- ``overlay_share_rect``: axis-aligned buffers/polygons → closed-form
+  intersection area, micro-quantized (floor(area·10⁶) int) so the
+  per-edge SUM is order-independent and oracle-exact. Requires
+  non-overlapping polygons within a class (the dissolve is then a
+  plain sum — our synthetic veg grid guarantees it).
+- ``overlay_share_convex``: general convex polygons via the
+  Sutherland–Hodgman kernel in an Arrow-batched pandas UDF (the
+  ST_Intersection twin for non-rectangular geometry).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark.operators.spatial_join import with_cover_cells, with_point_cell, CELL
+from hope_graph_builder_spark.spatial.kernels import clip_polygon_convex, shoelace_area
+from hope_graph_builder_spark.spatial.wkb import polygon_from_wkb
+
+AREA_Q = 1_000_000.0  # micro-m² quantization for order-free sums
+
+
+def edge_buffer_rect(edges: DataFrame, dist: float = 30.0) -> DataFrame:
+    """Axis-aligned buffer rectangle of each 2-vertex edge (documented
+    deviation from the round-capped PostGIS buffer — the overlay
+    *semantics* — intersect, dissolve, ratio — are identical)."""
+    d = F.lit(float(dist))
+    return (
+        edges.withColumn("bminx", F.least("x1", "x2") - d)
+        .withColumn("bmaxx", F.greatest("x1", "x2") + d)
+        .withColumn("bminy", F.least("y1", "y2") - d)
+        .withColumn("bmaxy", F.greatest("y1", "y2") + d)
+        .withColumn(
+            "buf_area",
+            (F.col("bmaxx") - F.col("bminx")) * (F.col("bmaxy") - F.col("bminy")),
+        )
+    )
+
+
+def overlay_share_rect(
+    edges: DataFrame, veg: DataFrame, res: int = 8, dist: float = 30.0
+) -> DataFrame:
+    """edges(edge_id, x1..y2) × veg(veg_class, minx..maxy) →
+    (edge_id, veg_class, share). One cover-join + one groupBy."""
+    b = edge_buffer_rect(edges, dist)
+    bc = with_cover_cells(
+        b.select("edge_id", "bminx", "bminy", "bmaxx", "bmaxy", "buf_area"),
+        "bminx", "bminy", "bmaxx", "bmaxy", res,
+    )
+    vc = with_cover_cells(veg, "minx", "miny", "maxx", "maxy", res)
+    cand = bc.join(vc, CELL, "inner")
+    ix = F.greatest(F.lit(0.0), F.least("bmaxx", "maxx") - F.greatest("bminx", "minx"))
+    iy = F.greatest(F.lit(0.0), F.least("bmaxy", "maxy") - F.greatest("bminy", "miny"))
+    inter = (
+        cand.withColumn("area_q", F.floor(ix * iy * F.lit(AREA_Q)).cast("long"))
+        .filter(F.col("area_q") > 0)
+        # a (buffer, veg-rect) pair can meet in several cover cells → dedup
+        .select("edge_id", "veg_class", "poly_id", "area_q", "buf_area")
+        .distinct()
+    )
+    return inter.groupBy("edge_id", "veg_class").agg(
+        ((F.sum("area_q").cast("double") / F.lit(AREA_Q)) / F.min("buf_area")).alias("share")
+    )
+
+
+def overlay_share_convex(
+    edges: DataFrame, polys: DataFrame, res: int = 8, dist: float = 30.0,
+    geom: str = "geom",
+) -> DataFrame:
+    """General convex-polygon overlay: candidates by cell cover, exact
+    intersection area via Sutherland–Hodgman inside mapInPandas
+    (the pandas-UDF path; polys carry WKB + bbox)."""
+    b = edge_buffer_rect(edges, dist)
+    bc = with_cover_cells(
+        b.select("edge_id", "bminx", "bminy", "bmaxx", "bmaxy", "buf_area"),
+        "bminx", "bminy", "bmaxx", "bmaxy", res,
+    )
+    vc = with_cover_cells(polys, "minx", "miny", "maxx", "maxy", res)
+    cand = (
+        bc.join(vc, CELL, "inner")
+        .select("edge_id", "veg_class", "poly_id", geom,
+                "bminx", "bminy", "bmaxx", "bmaxy", "buf_area")
+        .distinct()
+    )
+
+    def clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            areas = np.zeros(len(pdf))
+            for i, (buf, x0, y0, x1, y1) in enumerate(
+                zip(pdf[geom], pdf.bminx, pdf.bminy, pdf.bmaxx, pdf.bmaxy)
+            ):
+                ring = polygon_from_wkb(buf)
+                rect = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+                out = clip_polygon_convex(ring[:-1], rect)
+                areas[i] = shoelace_area(out) if len(out) >= 3 else 0.0
+            yield pd.DataFrame(
+                {
+                    "edge_id": pdf.edge_id,
+                    "veg_class": pdf.veg_class,
+                    "area": areas,
+                    "buf_area": pdf.buf_area,
+                }
+            )
+
+    inter = cand.mapInPandas(
+        clip, schema="edge_id long, veg_class string, area double, buf_area double"
+    )
+    return (
+        inter.filter(F.col("area") > 0)
+        .withColumn("area_q", F.floor(F.col("area") * F.lit(AREA_Q)).cast("long"))
+        .groupBy("edge_id", "veg_class")
+        .agg(((F.sum("area_q") / F.lit(AREA_Q)) / F.min("buf_area")).alias("share"))
+    )

@@ -152,6 +152,110 @@ def noise_layers(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(_layer_grid_np())
 
 
+def dense_ids(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
+    """Deterministic id amplification for benchmarks: each page spawns
+    ``mult`` synthetic entities (id = doc_id·mult + j). The driver's
+    documents table is small (5k rows at sf0.1); the reference's real
+    workload is 1.28M edges (BASELINE.md) — benches run at comparable
+    scale via this multiplier. Not used by oracle-checked queries."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.select(
+        F.explode(
+            F.sequence(F.col("doc_id") * mult, F.col("doc_id") * mult + (mult - 1))
+        ).alias("doc_id")
+    )
+
+
+def page_points_dense(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
+    fr = xy_fragments("doc_id")
+    return dense_ids(spark, sf_dir, mult).select(
+        "doc_id", F.expr(fr["x"]).alias("x"), F.expr(fr["y"]).alias("y")
+    )
+
+
+def page_edges_dense(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
+    fr = xy_fragments("doc_id")
+    return dense_ids(spark, sf_dir, mult).select(
+        F.col("doc_id").alias("edge_id"),
+        F.expr(fr["x"]).alias("x1"),
+        F.expr(fr["y"]).alias("y1"),
+        (F.expr(fr["x"]) + F.expr(fr["dx"])).alias("x2"),
+        (F.expr(fr["y"]) + F.expr(fr["dy"])).alias("y2"),
+        F.sqrt(F.expr(fr["dx"]) * F.expr(fr["dx"]) + F.expr(fr["dy"]) * F.expr(fr["dy"])).alias("length"),
+    )
+
+
+def gvi_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSV-style GVI sample points: 4 per page, deterministic
+    (gvi_id, x, y, gvi_raw in [0, 100])."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = d.select("doc_id", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("_j")).select(
+        (F.col("doc_id") * 4 + F.col("_j")).alias("gvi_id")
+    )
+    fr = xy_fragments("gvi_id")
+    h5 = _h("gvi_id", A3, C1)
+    return g.select(
+        "gvi_id",
+        F.expr(fr["x"]).alias("x"),
+        F.expr(fr["y"]).alias("y"),
+        F.expr(f"({h5} % 1001) / 10.0").alias("gvi_raw"),
+    )
+
+
+def sql_gvi_points(table: str = "documents") -> str:
+    """DuckDB twin of gvi_points."""
+    fr = xy_fragments("gvi_id")
+    h5 = _h("gvi_id", A3, C1)
+    return f"""
+    SELECT gvi_id, {fr['x']} AS x, {fr['y']} AS y, ({h5} % 1001) / 10.0 AS gvi_raw
+    FROM (SELECT doc_id * 4 + j.range AS gvi_id FROM {table}, range(0, 4) j)
+    """
+
+
+# vegetation rect grid: non-overlapping within each class (so the
+# overlay dissolve A9 reduces to a plain sum)
+VEG_GRID = 50
+VEG_CELL = 2000.0
+VEG_SIDE = 1600.0
+VEG_CLASSES = ["low", "high"]
+
+
+def _veg_grid_np() -> pd.DataFrame:
+    gx, gy, vc = np.meshgrid(
+        np.arange(VEG_GRID), np.arange(VEG_GRID), np.arange(len(VEG_CLASSES)), indexing="ij"
+    )
+    gx, gy, vc = gx.ravel(), gy.ravel(), vc.ravel()
+    keep = (gx * 7 + gy * 13 + vc * 5) % 4 != 0
+    gx, gy, vc = gx[keep], gy[keep], vc[keep]
+    minx = gx * VEG_CELL + vc * 200.0
+    miny = gy * VEG_CELL + vc * 200.0
+    return pd.DataFrame({
+        "veg_class": np.array(VEG_CLASSES)[vc],
+        "poly_id": vc.astype(np.int64) * VEG_GRID * VEG_GRID + gx * VEG_GRID + gy,
+        "minx": minx, "miny": miny,
+        "maxx": minx + VEG_SIDE, "maxy": miny + VEG_SIDE,
+    })
+
+
+def veg_rects(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_veg_grid_np())
+
+
+def sql_veg_duckdb() -> str:
+    cls = "CASE vc WHEN 0 THEN 'low' ELSE 'high' END"
+    return f"""
+    SELECT {cls} AS veg_class,
+           vc * {VEG_GRID} * {VEG_GRID} + gx * {VEG_GRID} + gy AS poly_id,
+           gx * {VEG_CELL} + vc * 200.0 AS minx,
+           gy * {VEG_CELL} + vc * 200.0 AS miny,
+           gx * {VEG_CELL} + vc * 200.0 + {VEG_SIDE} AS maxx,
+           gy * {VEG_CELL} + vc * 200.0 + {VEG_SIDE} AS maxy
+    FROM (SELECT g1.range AS gx, g2.range AS gy, c.range AS vc
+          FROM range(0, {VEG_GRID}) g1, range(0, {VEG_GRID}) g2, range(0, 2) c)
+    WHERE (gx * 7 + gy * 13 + vc * 5) % 4 != 0
+    """
+
+
 def sql_points(id_col: str = "doc_id", table: str = "documents") -> str:
     fr = xy_fragments(id_col)
     return (
