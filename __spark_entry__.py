@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     edges = synth.page_edges(spark, sf_dir)
     layers = synth.noise_layers(spark)
-    return run_noise_join(edges, layers, synth.NODATA_RECT, res=9)
+    return run_noise_join(edges, layers, synth.NODATA_RECT, res=7)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

