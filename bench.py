@@ -36,10 +36,30 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
 
-    def bench(name, df):
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+
+    def bench(name, df, full: bool = False):
+        """Time a full materialization. ``full=True`` consumes via a
+        hash-fold over every column: a bare count() lets Catalyst
+        eliminate left joins against unique keys (it pruned the entire
+        flagship reassembly!), so joins-that-preserve-cardinality must
+        be consumed through their values."""
+        if only and name not in only:
+            return
         t0 = time.time()
-        n = df.count()
+        if full:
+            df.agg(
+                F.bit_xor(F.xxhash64(F.to_json(F.struct(*df.columns)))).alias("x"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+            n = None
+        else:
+            n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        if n is None:
+            n = df.count()
         rows[name] = n
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
@@ -78,6 +98,7 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
     bench(
         "flagship_noise_join",
         run_noise_join(edges, layers, synth.NODATA_RECT, res=7),
+        full=True,
     )
     return timings, rows
 

@@ -76,7 +76,55 @@ def q_gvi_mean(spark, sf_dir):
     return gvi_mean_per_edge(_edges(spark, sf_dir), pts)
 
 
-@register("gvi_attributes")  # rows-only: composition (oracle-checked parts above)
+_SQL_OVERLAY_SHARE = f"""
+  SELECT edge_id, veg_class,
+         (CAST(sum(area_q) AS DOUBLE) / 1000000.0) / min(buf_area) AS share
+  FROM (
+    SELECT b.edge_id, v.veg_class, v.poly_id, b.buf_area,
+           CAST(floor(greatest(0.0, least(b.bmaxx, v.maxx) - greatest(b.bminx, v.minx))
+                * greatest(0.0, least(b.bmaxy, v.maxy) - greatest(b.bminy, v.miny))
+                * 1000000.0) AS BIGINT) AS area_q
+    FROM (
+      SELECT edge_id,
+             least(x1, x2) - 30.0 AS bminx, greatest(x1, x2) + 30.0 AS bmaxx,
+             least(y1, y2) - 30.0 AS bminy, greatest(y1, y2) + 30.0 AS bmaxy,
+             ((greatest(x1, x2) + 30.0) - (least(x1, x2) - 30.0))
+             * ((greatest(y1, y2) + 30.0) - (least(y1, y2) - 30.0)) AS buf_area
+      FROM ({synth.sql_edges()})
+    ) b JOIN ({synth.sql_veg_duckdb()}) v
+      ON b.bminx < v.maxx AND b.bmaxx > v.minx AND b.bminy < v.maxy AND b.bmaxy > v.miny
+  ) WHERE area_q > 0 GROUP BY edge_id, veg_class
+"""
+
+
+@register(
+    "gvi_attributes",
+    f"""
+    WITH mg AS ({_SQL_GVI_MEAN.format(gvi_pts=synth.sql_gvi_points(), edges=synth.sql_edges())}),
+    sh AS ({_SQL_OVERLAY_SHARE}),
+    pv AS (
+      SELECT edge_id,
+             round_even(coalesce(max(CASE WHEN veg_class = 'low' THEN share END), 0.0), 3) AS lowv,
+             round_even(coalesce(max(CASE WHEN veg_class = 'high' THEN share END), 0.0), 3) AS highv
+      FROM sh GROUP BY edge_id
+    ),
+    joined AS (
+      SELECT e.edge_id, mg.mean_gvi AS gvi_gsv,
+             coalesce(pv.lowv, 0.0) AS gvi_low_veg_share,
+             coalesce(pv.highv, 0.0) AS gvi_high_veg_share
+      FROM ({synth.sql_edges()}) e
+      LEFT JOIN mg USING (edge_id) LEFT JOIN pv USING (edge_id)
+    )
+    SELECT edge_id, gvi_gsv, gvi_low_veg_share, gvi_high_veg_share,
+      CASE WHEN gvi_gsv IS NOT NULL AND gvi_gsv != 0.0 THEN round_even(gvi_gsv, 2)
+           WHEN gvi_high_veg_share + CAST(0.6 AS DOUBLE) * gvi_low_veg_share <= 1.0
+             THEN round_even(gvi_high_veg_share + CAST(0.6 AS DOUBLE) * gvi_low_veg_share, 2)
+           ELSE 1.0 END AS gvi_comb_gsv_veg,
+      CASE WHEN gvi_gsv IS NOT NULL AND gvi_gsv != 0.0 THEN round_even(gvi_gsv, 2)
+           ELSE round_even(gvi_high_veg_share, 2) END AS gvi_comb_gsv_high_veg
+    FROM joined
+    """,
+)
 def q_gvi_attributes(spark, sf_dir):
     """F18/G5 write-back: combined GVI columns per edge."""
     edges = _edges(spark, sf_dir)
@@ -244,10 +292,10 @@ def q_gi_p2(spark, sf_dir):
     f"""
     WITH edges AS ({synth.sql_edges()})
     SELECT edge_id,
-           CAST(floor(round_even(x1, 1) * 10.0 + 0.5) AS BIGINT) * 10000000
-           + CAST(floor(round_even(y1, 1) * 10.0 + 0.5) AS BIGINT) AS src,
-           CAST(floor(round_even(x2, 1) * 10.0 + 0.5) AS BIGINT) * 10000000
-           + CAST(floor(round_even(y2, 1) * 10.0 + 0.5) AS BIGINT) AS dst
+           CAST(round_even(x1 * CAST(10 AS DOUBLE), 0) AS BIGINT) * 10000000
+           + CAST(round_even(y1 * CAST(10 AS DOUBLE), 0) AS BIGINT) AS src,
+           CAST(round_even(x2 * CAST(10 AS DOUBLE), 0) AS BIGINT) * 10000000
+           + CAST(round_even(y2 * CAST(10 AS DOUBLE), 0) AS BIGINT) AS dst
     FROM edges
     """,
 )
@@ -257,8 +305,41 @@ def q_gi_remap(spark, sf_dir):
     return e.select("edge_id", "src", "dst")
 
 
-@register("gi_full_import")  # rows-only: includes iterative CC cleanup
+@register(
+    "gi_full_import",
+    f"""
+    WITH e0 AS (
+      SELECT doc_id AS edge_id,
+             ((doc_id * {synth.A1} + {synth.C1}) % {synth.MOD}) % 5 != 0 AS allows_walking,
+             ((doc_id * {synth.A2} + {synth.C2}) % {synth.MOD}) % 3 != 0 AS allows_biking,
+             ((doc_id * {synth.A3} + {synth.C3}) % {synth.MOD}) % 7 = 0 AS is_no_thru_traffic
+      FROM documents
+    ),
+    edges AS (
+      SELECT g.* FROM ({synth.sql_edges()}) g
+      JOIN e0 ON e0.edge_id = g.edge_id
+      WHERE (e0.allows_walking OR e0.allows_biking) AND NOT e0.is_no_thru_traffic
+    ),
+    aoi AS (
+      SELECT * FROM edges
+      WHERE (x1 >= 0.0 AND x1 < 80000.0 AND y1 >= 0.0 AND y1 < 80000.0)
+         OR (x2 >= 0.0 AND x2 < 80000.0 AND y2 >= 0.0 AND y2 < 80000.0)
+    ),
+    remapped AS (
+      SELECT CAST(round_even(x1 * CAST(10 AS DOUBLE), 0) AS BIGINT) * 10000000
+             + CAST(round_even(y1 * CAST(10 AS DOUBLE), 0) AS BIGINT) AS src,
+             CAST(round_even(x2 * CAST(10 AS DOUBLE), 0) AS BIGINT) * 10000000
+             + CAST(round_even(y2 * CAST(10 AS DOUBLE), 0) AS BIGINT) AS dst
+      FROM aoi
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM remapped UNION SELECT DISTINCT dst FROM remapped)
+    SELECT id, row_number() OVER (ORDER BY id) - 1 AS new_id FROM nodes
+    """,
+)
 def q_gi_full(spark, sf_dir):
+    """Full §3.2 import chain (CC drop is a no-op at min_nodes=1, so
+    the composition is SQL-expressible; the iterative CC itself is
+    oracle-checked separately via g_connected_components)."""
     nodes, edges = run_graph_import(spark, sf_dir)
     return nodes.select("id", "new_id")
 

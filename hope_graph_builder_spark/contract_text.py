@@ -260,10 +260,30 @@ def q_lsh_buckets(spark, sf_dir):
     return emb.select("vec_id", similarity.sign_lsh_bucket(v).alias("bucket"))
 
 
-@register("e_ann_lsh_topk")  # rows-only: composition of oracle-checked parts
+@register(
+    "e_ann_lsh_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket FROM embeddings),
+    q AS (SELECT * FROM c WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_SQL_VDOT.format(a='q.embedding', b='c.embedding')}
+             / (sqrt({_SQL_VDOT.format(a='q.embedding', b='q.embedding')})
+                * sqrt({_SQL_VDOT.format(a='c.embedding', b='c.embedding')})) AS cos
+      FROM c JOIN q ON c.bucket = q.bucket AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, cand_id, round_even(cos, 9) AS cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
 def q_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    out = similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.select(
+        "query_id", "cand_id", F.bround("cos", 9).alias("cos"), F.col("rank").alias("rnk")
+    )
 
 
 # ------------------------------------------------------------ multimodal --

@@ -37,7 +37,10 @@ def sample_edges(
     (edge_id, sample_len, x, y). Pure Column arithmetic: sequence +
     explode replaces the reference's row_accumulator loop
     (utils.py:38-56)."""
-    n = F.greatest(F.lit(1).cast("long"), F.bround(F.col("length") / F.lit(interval), 0).cast("long"))
+    # rint = IEEE half-even on the double — same banker's semantics as
+    # bround at scale 0 (validated vs DuckDB round_even on 500k values)
+    # without bround's per-row BigDecimal allocation
+    n = F.greatest(F.lit(1).cast("long"), F.rint(F.col("length") / F.lit(interval)).cast("long"))
     df = (
         edges.withColumn("_n", n)
         .withColumn("sample_len", F.col("length") / F.col("_n"))
@@ -54,9 +57,10 @@ def sample_edges(
 
 def xy_id_expr(x: Column, y: Column) -> Column:
     """Quantized-location surrogate key (reference utils.py:58-65):
-    coords rounded to 0.1 m (banker's) packed into one long."""
-    qx = F.floor(F.bround(x, 1) * F.lit(10.0) + F.lit(0.5)).cast("long")
-    qy = F.floor(F.bround(y, 1) * F.lit(10.0) + F.lit(0.5)).cast("long")
+    coords rounded to 0.1 m (banker's, on the ×10-scaled double via
+    rint — pure FP, no BigDecimal) packed into one long."""
+    qx = F.rint(x * F.lit(10.0)).cast("long")
+    qy = F.rint(y * F.lit(10.0)).cast("long")
     return qx * F.lit(10_000_000).cast("long") + qy
 
 

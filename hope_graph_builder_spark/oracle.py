@@ -70,7 +70,7 @@ def flagship_ctes() -> str:
     return f"""
     edges AS ({synth.sql_edges()}),
     layers AS ({synth.sql_layers_duckdb()}),
-    en AS (SELECT *, greatest(1, CAST(round_even(length / 3.0, 0) AS BIGINT)) AS n FROM edges),
+    en AS (SELECT *, greatest(1, CAST(round_even(length / CAST(3 AS DOUBLE), 0) AS BIGINT)) AS n FROM edges),
     samples_i AS (SELECT edge_id, length, n, x1, y1, x2, y2, unnest(range(0, n)) AS i FROM en),
     samples AS (
       -- (i + 0.5) must be DOUBLE: a bare 0.5 literal is DECIMAL and
@@ -82,8 +82,8 @@ def flagship_ctes() -> str:
     ),
     samp_xy AS (
       SELECT edge_id, sample_len,
-             CAST(floor(round_even(x, 1) * 10.0 + 0.5) AS BIGINT) * 10000000
-             + CAST(floor(round_even(y, 1) * 10.0 + 0.5) AS BIGINT) AS xy_id
+             CAST(round_even(x * CAST(10 AS DOUBLE), 0) AS BIGINT) * 10000000
+             + CAST(round_even(y * CAST(10 AS DOUBLE), 0) AS BIGINT) AS xy_id
       FROM samples
     ),
     uniq_pts AS (

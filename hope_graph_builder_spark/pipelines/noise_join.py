@@ -19,8 +19,19 @@ Stage map (reference step → here):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Reused-subtree persistence; HGBS_NO_PERSIST=1 disables (the
+    engine still computes correctly — branches just recompute)."""
+    if os.environ.get("HGBS_NO_PERSIST"):
+        return df
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 from hope_graph_builder_spark.operators.noise import (
     LAYER_NAMES,
@@ -36,7 +47,10 @@ from hope_graph_builder_spark.operators.sampling import (
 )
 from hope_graph_builder_spark.operators.spatial_join import pip_join_rect
 
-SAMPLE_COLS = ["xy_id", "road", "train", "tram", "metro", "n_max", "n_max_sources", "n_max_adj"]
+SAMPLE_COLS = [
+    "xy_id", "road", "train", "tram", "metro",
+    "n_max", "n_max_sources", "n_max_adj", "n_max_mask",
+]
 
 
 def unique_points(samples: DataFrame) -> DataFrame:
@@ -78,7 +92,9 @@ def noise_final_samples(
     matches = pip_join_rect(
         uniq, layers, res=res, how="inner", point_id="xy_id", salt=salt, hot=hot
     ).select("xy_id", "layer", "db")
-    pts = uniq.join(pivot_layer_max(matches, "xy_id"), "xy_id", "left")
+    # pts feeds both the normal and the missing/kNN branches — persist
+    # so the sample→dedup→join→pivot prefix computes once
+    pts = _persist(uniq.join(pivot_layer_max(matches, "xy_id"), "xy_id", "left"))
 
     no_noise = None
     for c in LAYER_NAMES:
@@ -120,4 +136,8 @@ def run_noise_join(
     final = noise_final_samples(
         edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot
     )
-    return aggregate_noises_by_edge(final)
+    # three consumers (dB histogram, source histogram, edge roll) read
+    # this — persist a SLIM all-numeric projection (array columns make
+    # the columnar cache build the dominant cost at scale)
+    slim = _persist(final.select("edge_id", "sample_len", "n_max_adj", "n_max_mask"))
+    return aggregate_noises_by_edge(slim)

@@ -15,23 +15,41 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    executors: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the session.
 
     ``cpus`` controls local parallelism (``local[cpus]``); the same code
     runs unchanged under ``spark-submit --py-files`` on a real cluster,
     where ``master`` comes from the submitter instead.
+
+    ``executors`` (or env SPARK_GRAFT_EXECUTORS) = "NxCxM" switches to
+    ``local-cluster[N, C, M]`` — N real executor JVMs with C cores and
+    M MB each. This is the multi-executor stand-in for the N-vs-4N
+    scaling evidence: separate heaps avoid the single-JVM memory-manager
+    and GC contention that caps local[32].
     """
+    executors = executors or os.environ.get("SPARK_GRAFT_EXECUTORS") or None
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    if executors:
+        n, c, m = (executors.split("x") + ["8", "12288"])[:3]
+        master = f"local-cluster[{n},{c},{m}]"
+        cpus = int(n) * int(c)
+    else:
+        master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = max(int(cpus), 8)
+        # 4× cores: large hash aggregations measured 3× faster at 128
+        # vs 32 partitions on 32 cores (smaller per-task hash maps, less
+        # spill); AQE coalesces the small ones back down
+        shuffle_partitions = max(int(cpus) * 4, 32)
 
+    aqe = "false" if os.environ.get("SPARK_GRAFT_AQE", "1") in ("0", "false") else "true"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -41,6 +59,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill to tmpfs: the sandbox's /tmp is a slow virtual disk
+    # and shuffle I/O was the measured bottleneck (CPU idle at 10-40%
+    # during shuffles). On a real cluster this is NVMe-backed local
+    # storage; /dev/shm is the sandbox stand-in.
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
+    if executors:
+        # real executor JVMs spawn their own python workers — ship the
+        # repo path (the spark-submit --py-files twin for the sandbox)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,13 +1,18 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence (north rule: ≥0.8 throughput scaling
-efficiency between N and 4N executors; sandbox stand-in = local[8] vs
-local[32] in separate JVMs on the same input).
+efficiency between N and 4N executors).
 
-Runs bench.py --child at each parallelism level (separate processes —
-a JVM can't change master), repeats R times, takes the median, and
-prints throughput at both levels + efficiency = (T8/T32) / 4 per
-query. Appends a markdown row block to BENCH/BASELINE.md when
---write is passed.
+Sandbox protocol: N = local-cluster[1,2,·] (one 2-core executor JVM),
+4N = local-cluster[4,2,·] (four executor JVMs) — real separate
+executor processes, and the 2→8-core range is where this host's CPU
+is measured hardware-linear (4.04× at 4× workers; 8→32 vCPUs only
+deliver 2.5× because 32 vCPUs share ~16 physical cores, capping ANY
+engine at 0.63 there — measured with a pure-python burn and recorded
+in BASELINE.md).
+
+Runs bench.py --child at each level (separate processes), repeats R
+times, takes the median, prints throughput at both + efficiency =
+(throughput_4N / throughput_N) / 4. --write appends to BASELINE.md.
 """
 
 from __future__ import annotations
@@ -20,12 +25,17 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+N_EXEC = os.environ.get("SPARK_GRAFT_SCALING_N", "1x2x12288")
+FOURN_EXEC = os.environ.get("SPARK_GRAFT_SCALING_4N", "4x2x12288")
 
-def run_child(cpus: int) -> dict:
+
+def run_child(executors: str) -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    env["SPARK_GRAFT_EXECUTORS"] = executors
+    cores = int(executors.split("x")[0]) * int(executors.split("x")[1])
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--child", str(cpus)],
+        [sys.executable, os.path.join(REPO, "bench.py"), "--child", str(cores)],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -34,15 +44,15 @@ def run_child(cpus: int) -> dict:
 
 def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
-    lo, hi = 8, 32
+    lo, hi = N_EXEC, FOURN_EXEC
     runs = {lo: [], hi: []}
     for r in range(reps):
-        for cpus in (lo, hi):
-            res = run_child(cpus)
-            runs[cpus].append(res)
-            print(f"# rep {r} cpus={cpus}: {res['queries']}", file=sys.stderr)
+        for execs in (lo, hi):
+            res = run_child(execs)
+            runs[execs].append(res)
+            print(f"# rep {r} executors={execs}: {res['queries']}", file=sys.stderr)
 
-    report = {"n_cpus": lo, "four_n_cpus": hi, "reps": reps, "queries": {}}
+    report = {"n_executors": lo, "four_n_executors": hi, "reps": reps, "queries": {}}
     names = runs[lo][0]["queries"].keys()
     for q in names:
         t_lo = statistics.median(r["queries"][q] for r in runs[lo])
@@ -50,7 +60,7 @@ def main() -> None:
         rows = runs[lo][0]["rows"][q]
         thr_lo = rows / t_lo if t_lo else 0.0
         thr_hi = rows / t_hi if t_hi else 0.0
-        eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo else 0.0
+        eff = (thr_hi / thr_lo) / 4.0 if thr_lo else 0.0
         report["queries"][q] = {
             "rows": rows,
             "sec_n": round(t_lo, 3),
@@ -63,8 +73,9 @@ def main() -> None:
 
     if "--write" in sys.argv:
         lines = [
-            "\n## Measured scaling (local[8] vs local[32], same input, median of "
-            f"{reps} reps, MULT={os.environ.get('SPARK_GRAFT_MULT', '100')}, sf0.1)\n",
+            f"\n## Measured scaling (N = local-cluster[{lo}] vs 4N = local-cluster[{hi}], "
+            f"same input, median of {reps} reps, "
+            f"MULT={os.environ.get('SPARK_GRAFT_MULT', '100')}, sf0.1)\n",
             "| query | rows | sec @N | sec @4N | rows/s @N | rows/s @4N | efficiency |",
             "|---|---|---|---|---|---|---|",
         ]
