@@ -36,6 +36,19 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
 
+    # Materialize the synthetic inputs to parquet ONCE and bench the
+    # engine reading parquet — the target workload reads Iceberg/parquet;
+    # inlining the deterministic generator into every stage would bench
+    # the generator (and bloat codegen), not the engine.
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    cache_root = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/dev/shm/bench_inputs")
+
+    def materialize(df, name):
+        path = f"{cache_root}/{sf_tag}_m{mult}/{name}"
+        if not os.path.exists(path + "/_SUCCESS"):
+            df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     only = {
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
@@ -63,8 +76,14 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
         rows[name] = n
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
-    edges = synth.page_edges_dense(spark, sf_dir, mult)
-    points = synth.page_points_dense(spark, sf_dir, mult)
+    edges = materialize(synth.page_edges_dense(spark, sf_dir, mult), "edges")
+    points = materialize(synth.page_points_dense(spark, sf_dir, mult), "points")
+    edges_tenth = materialize(
+        synth.page_edges_dense(spark, sf_dir, max(mult // 10, 1)).filter(
+            F.col("edge_id") % 10 != 0
+        ),
+        "edges_tenth",
+    )
 
     bench("point_cells", with_point_cell(points, "x", "y", 9))
     bench(
@@ -88,9 +107,7 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
         "dwithin_join",
         dwithin_join(
             points.filter(F.col("doc_id") % 10 != 0),
-            synth.page_edges_dense(spark, sf_dir, max(mult // 10, 1)).filter(
-                F.col("edge_id") % 10 != 0
-            ),
+            edges_tenth,
             dist=30.0,
             res=9,
         ),

@@ -83,7 +83,15 @@ def run_stage(
     written = spark.read.parquet(data_path).join(
         F.broadcast(done), tile_col, "left_anti"
     )
-    non_key = [c for c in written.columns if c != tile_col]
+    # xxhash64 rejects MAP columns (undefined hashcodes); serialize
+    # them — our maps are built sorted, so to_json is deterministic
+    from pyspark.sql.types import MapType
+
+    non_key = [
+        F.to_json(F.col(f.name)) if isinstance(f.dataType, MapType) else F.col(f.name)
+        for f in written.schema.fields
+        if f.name != tile_col
+    ]
     lineage = (
         written.groupBy(tile_col)
         .agg(

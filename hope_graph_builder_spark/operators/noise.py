@@ -154,7 +154,11 @@ def edge_source_rows(final_samples: DataFrame, edge_id: str = "edge_id") -> Data
     return allrows.groupBy(edge_id, "src").agg(F.count("*").alias("cnt"))
 
 
-def aggregate_noises_by_edge(final_samples: DataFrame, edge_id: str = "edge_id") -> DataFrame:
+def aggregate_noises_by_edge(
+    final_samples: DataFrame,
+    edge_id: str = "edge_id",
+    edges_all: DataFrame | None = None,
+) -> DataFrame:
     """Edge-level noise attributes (utils.py:234-275):
 
     - noises:        map<int,double> dB → round(count × sample_len, 5)
@@ -186,7 +190,11 @@ def aggregate_noises_by_edge(final_samples: DataFrame, edge_id: str = "edge_id")
         ).alias("noise_sources"),
     )
 
-    edges_all = final_samples.select(edge_id).distinct()
+    if edges_all is None:
+        # every edge yields ≥1 sample, so the distinct sample edges ==
+        # the input edge list; callers that have it pass it to skip
+        # this shuffle
+        edges_all = final_samples.select(edge_id).distinct()
     return (
         edges_all.join(noises, edge_id, "left")
         .join(src_agg, edge_id, "left")

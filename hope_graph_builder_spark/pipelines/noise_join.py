@@ -140,4 +140,4 @@ def run_noise_join(
     # this — persist a SLIM all-numeric projection (array columns make
     # the columnar cache build the dominant cost at scale)
     slim = _persist(final.select("edge_id", "sample_len", "n_max_adj", "n_max_mask"))
-    return aggregate_noises_by_edge(slim)
+    return aggregate_noises_by_edge(slim, edges_all=edges.select("edge_id"))
