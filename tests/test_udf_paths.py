@@ -1,0 +1,86 @@
+"""The Arrow/pandas-UDF refinement paths must agree with the native
+paths on shapes both can express (rectangles) — plus CRS/WKT codecs."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark import synth
+from hope_graph_builder_spark.operators.spatial_join import pip_join_rect, pip_join_wkb
+from hope_graph_builder_spark.pipelines.overlay import (
+    overlay_share_convex,
+    overlay_share_rect,
+)
+from hope_graph_builder_spark.spatial import crs, wkb
+from hope_graph_builder_spark.spatial.wkt import (
+    format_linestring_np,
+    format_point_expr,
+    parse_linestring_np,
+    parse_point_expr,
+)
+
+from tests.conftest import SF_TINY
+
+
+def _layers_with_wkb(spark):
+    pdf = synth._layer_grid_np()
+    pdf["geom"] = [
+        wkb.rect_to_wkb(a, b, c, d)
+        for a, b, c, d in zip(pdf.minx, pdf.miny, pdf.maxx, pdf.maxy)
+    ]
+    return spark.createDataFrame(pdf)
+
+
+def test_pip_wkb_matches_rect_path(spark):
+    """General-ring ray-cast refine == native rect refine on the same
+    rectangles (boundary convention differs only on exact edges, which
+    the 0.1m-grid points never hit)."""
+    pts = synth.page_points(spark, SF_TINY).select("doc_id", "x", "y")
+    layers = _layers_with_wkb(spark)
+    a = (
+        pip_join_rect(pts, layers.drop("geom"), res=7, how="inner", point_id="doc_id")
+        .select("doc_id", "poly_id")
+    )
+    b = pip_join_wkb(pts, layers, res=7, point_id="doc_id").select("doc_id", "poly_id")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_overlay_convex_matches_rect_path(spark):
+    edges = synth.page_edges(spark, SF_TINY)
+    veg_pdf = synth._veg_grid_np()
+    veg_pdf2 = veg_pdf.copy()
+    veg_pdf2["geom"] = [
+        wkb.rect_to_wkb(a, b, c, d)
+        for a, b, c, d in zip(veg_pdf.minx, veg_pdf.miny, veg_pdf.maxx, veg_pdf.maxy)
+    ]
+    rect = overlay_share_rect(edges, spark.createDataFrame(veg_pdf), res=8).toPandas()
+    conv = overlay_share_convex(edges, spark.createDataFrame(veg_pdf2), res=8).toPandas()
+    m = rect.merge(conv, on=["edge_id", "veg_class"], suffixes=("_r", "_c"), how="outer")
+    assert m.share_r.notna().all() and m.share_c.notna().all()
+    assert (abs(m.share_r - m.share_c) < 1e-6).all()
+
+
+def test_crs_roundtrip(spark):
+    lon = np.array([0.0, 24.94, -122.4])
+    lat = np.array([0.0, 60.17, 37.77])
+    x, y = crs.lonlat_to_mercator_np(lon, lat)
+    lon2, lat2 = crs.mercator_to_lonlat_np(x, y)
+    assert np.allclose(lon, lon2) and np.allclose(lat, lat2)
+    # Column flavor agrees with numpy flavor
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    cx, cy = crs.lonlat_to_mercator_expr(F.col("lon"), F.col("lat"))
+    rows = df.select(cx.alias("x"), cy.alias("y")).collect()
+    assert np.allclose([r.x for r in rows], x)
+    assert np.allclose([r.y for r in rows], y)
+
+
+def test_wkt_roundtrips(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.5, -2.25], "y": [3.125, 4.0]}))
+    w = df.select(format_point_expr(F.col("x"), F.col("y")).alias("wkt"), "x", "y")
+    px, py = parse_point_expr(F.col("wkt"))
+    out = w.select((px == F.col("x")).alias("ok_x"), (py == F.col("y")).alias("ok_y")).collect()
+    assert all(r.ok_x and r.ok_y for r in out)
+    coords = np.array([[1.5, 2.5], [3.0, 4.0], [5.25, 6.0]])
+    assert (parse_linestring_np(format_linestring_np(coords)) == coords).all()
+    assert parse_linestring_np("LINESTRING EMPTY").shape == (0, 2)
