@@ -51,7 +51,10 @@ LAYER_NAMES = [f"{p}_{s}" for p in PROVIDERS for s in SOURCES]
 # boundary strips, get_nodata_areas.py:26) — noise rectangles are
 # clipped out of it, so points inside are genuinely data-free and the
 # kNN ring interpolation branch has real work to do.
-NODATA_X0, NODATA_X1 = 52000.0, 52040.0
+# 240 m wide: ~15 sampling points land inside at sf0.01, so the kNN
+# ring-interpolation branch does real work in the correctness gate
+# (at 40 m it matched the reference's strips but caught 0 points)
+NODATA_X0, NODATA_X1 = 52000.0, 52240.0
 NODATA_RECT = (NODATA_X0, 0.0, NODATA_X1, 131072.0)
 
 

@@ -159,3 +159,34 @@ def test_text_byte_identity(spark, edges):
     )
     assert before.exceptAll(after).count() == 0
     assert after.exceptAll(before).count() == 0
+
+
+def test_interpolate_missing_quantile(spark):
+    """Exact nearest-rank semantics of the kNN interpolation
+    (reference noise_graph_join.py:88-98): fillna(0), per-layer
+    0.7-nearest quantile over the 20 ring samples, then 0 → null."""
+    import pandas as pd
+    from hope_graph_builder_spark.operators.noise import interpolate_missing
+
+    rows = []
+    for i in range(20):
+        rows.append({
+            "xy_id": 1, "ring_i": i,
+            # 15 of 20 ring points see dB 50 → sorted[14] = 50
+            "hel_road": 50 if i < 15 else None,
+            # only 5 see dB 60 → sorted[14] = 0 → null
+            "hel_train": 60 if i < 5 else None,
+            "hel_tram": None, "hel_metro": None,
+            "syke_road": None, "syke_train": None,
+            "syke_tram": None, "syke_metro": None,
+        })
+    pdf = pd.DataFrame(rows).astype("object").where(pd.notna(pd.DataFrame(rows)), None)
+    df = spark.createDataFrame(
+        pdf, schema="xy_id long, ring_i int, hel_road int, hel_train int, "
+        "hel_tram int, hel_metro int, syke_road int, syke_train int, "
+        "syke_tram int, syke_metro int"
+    )
+    out = interpolate_missing(df, ring_count=20).collect()[0]
+    assert out.hel_road == 50.0
+    assert out.hel_train is None
+    assert out.hel_tram is None
