@@ -31,17 +31,23 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
     from hope_graph_builder_spark.pipelines.noise_join import run_noise_join
     from hope_graph_builder_spark.session import get_spark
 
-    # Default to multi-executor mode (8 JVMs × 4 cores): measured ~2×
-    # faster than local[32] for the flagship (single-JVM memory-manager
-    # and GC contention) and truer to the target cluster. Override or
-    # disable with SPARK_GRAFT_EXECUTORS (e.g. "" forces local[N]).
+    # Default to multi-executor mode (4 JVMs × 4 cores): measured faster
+    # than local[32] for the flagship (single-JVM memory-manager and GC
+    # contention) and truer to the target cluster. r01 post-mortem: the
+    # old 8×4×8192 + 32g driver + /dev/shm shuffle overcommitted the
+    # 128 GiB host — executors died and respawned in a loop (~600
+    # 'unknown executor' WARNs) and the driver never parsed a JSON line.
+    # Override or disable with SPARK_GRAFT_EXECUTORS ("" forces local[N]).
     executors = os.environ.get("SPARK_GRAFT_EXECUTORS")
     if executors is None:
-        executors = "8x4x8192"
+        executors = "4x4x6144"
     try:
         spark = get_spark(app=f"bench[{cpus}]", cpus=cpus, executors=executors or None)
     except Exception:
         spark = get_spark(app=f"bench[{cpus}]", cpus=cpus)
+    # keep stdout/stderr clean so the driver can parse the JSON line:
+    # the r01 tail was 100% WARN spam from the in-process Master
+    spark.sparkContext.setLogLevel("ERROR")
     layers = synth.noise_layers(spark)
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -86,6 +92,7 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
         rows[name] = n
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    run.spark = spark
     edges = materialize(synth.page_edges_dense(spark, sf_dir, mult), "edges")
     points = materialize(synth.page_points_dense(spark, sf_dir, mult), "points")
     edges_tenth = materialize(
@@ -139,13 +146,18 @@ def main() -> None:
     if "--child" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--child") + 1])
         timings, rows = run(sf_dir, cpus, mult)
-        print(json.dumps({"cpus": cpus, "queries": timings, "rows": rows}))
+        run.spark.stop()  # stop BEFORE printing: no log line may follow the JSON
+        print(json.dumps({"cpus": cpus, "queries": timings, "rows": rows}), flush=True)
         return
 
     timings, rows = run(sf_dir, cpus, mult)
     total = round(sum(timings.values()), 3)
     n_edges = rows.get("flagship_noise_join", 0)
     fl = timings.get("flagship_noise_join", 1.0)
+    # Stop the session (and its log sources) BEFORE emitting the JSON
+    # line: the driver reads the LAST stdout line, so nothing — not even
+    # a shutdown INFO/WARN — may print after it.
+    run.spark.stop()
     print(
         json.dumps(
             {
@@ -159,8 +171,12 @@ def main() -> None:
                 "rows": rows,
                 "flagship_edges_per_sec": round(n_edges / fl, 1) if fl else None,
             }
-        )
+        ),
+        flush=True,
     )
+    # Hard-exit: interpreter/py4j shutdown hooks must not print after
+    # the JSON line (the session is already stopped, nothing to clean).
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -251,18 +251,53 @@ def q_biking(spark, sf_dir):
     )
 
 
-@register("export_geojson")  # rows-only (JSON text formatting is engine-specific)
+_PRIO_SQL = "CASE src WHEN 'road' THEN 0 WHEN 'train' THEN 1 WHEN 'tram' THEN 2 WHEN 'metro' THEN 3 END"
+
+
+@register(
+    "export_geojson",
+    f"""
+    WITH {flagship_ctes()},
+    src_rows AS (
+      SELECT edge_id, src, count(*) AS cnt
+      FROM (SELECT edge_id, unnest(n_max_sources) AS src FROM final_samples)
+      WHERE src IS NOT NULL GROUP BY edge_id, src
+    ),
+    ranked AS (
+      SELECT edge_id, src,
+             row_number() OVER (PARTITION BY edge_id ORDER BY cnt DESC, {_PRIO_SQL} ASC) AS rn
+      FROM src_rows
+    )
+    SELECT e.edge_id, e.x1, e.y1, e.x2, e.y2,
+           coalesce(r.src, '') AS noise_source,
+           length(coalesce(r.src, '')) > 0 AS has_props
+    FROM edges e
+    LEFT JOIN (SELECT edge_id, src FROM ranked WHERE rn = 1) r USING (edge_id)
+    """,
+)
 def q_geojson(spark, sf_dir):
-    """S11/F20: line-delimited GeoJSON features with bucketed noise."""
+    """S11/F20: line-delimited GeoJSON features with the main noise
+    source as a property. The feature is assembled with to_json (its
+    validity + field layout is pytest-asserted:
+    test_geojson_feature_is_valid_json); the oracle checks the exact
+    scalar content that goes INTO the feature (JSON float formatting
+    itself is engine-specific, so the text is not hash-compared)."""
     edges = _edges(spark, sf_dir)
-    noises = run_noise_join(edges, synth.noise_layers(spark), synth.NODATA_RECT, res=9)
+    noises = run_noise_join(edges, synth.noise_layers(spark), synth.NODATA_RECT, res=7)
     j = noises.join(edges, "edge_id")
-    return j.select(
+    feats = j.select(
+        "edge_id", "x1", "y1", "x2", "y2", "noise_source",
         geojson_line_feature(
             F.col("edge_id"),
             F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
             {"noise_source": F.col("noise_source")},
-        ).alias("feature")
+        ).alias("feature"),
+    )
+    return feats.select(
+        "edge_id", "x1", "y1", "x2", "y2", "noise_source",
+        # derived FROM the assembled JSON feature so the sink itself is
+        # exercised under the oracle: the property survives round-trip
+        (F.get_json_object("feature", "$.properties.noise_source") != F.lit("")).alias("has_props"),
     )
 
 
@@ -342,6 +377,58 @@ def q_gi_full(spark, sf_dir):
     oracle-checked separately via g_connected_components)."""
     nodes, edges = run_graph_import(spark, sf_dir)
     return nodes.select("id", "new_id")
+
+
+# -------------------------------------------- multi-vertex sampling (F4) --
+
+@register(
+    "sample_polyline",
+    f"""
+    WITH pl AS ({synth.sql_polylines()}),
+    seg AS (
+      SELECT edge_id, xs, ys,
+             list_transform(range(1, len(xs)),
+               i -> sqrt((xs[i+1] - xs[i]) * (xs[i+1] - xs[i])
+                         + (ys[i+1] - ys[i]) * (ys[i+1] - ys[i]))) AS seg
+      FROM pl
+    ),
+    cum AS (
+      SELECT *, list_transform(range(1, len(seg) + 1),
+                  i -> list_reduce(list_slice(seg, 1, i), (a, x) -> a + x)) AS cum
+      FROM seg
+    ),
+    base AS (
+      SELECT *, cum[len(cum)] AS length,
+             greatest(1, CAST(round_even(cum[len(cum)] / CAST(3 AS DOUBLE), 0) AS BIGINT)) AS n
+      FROM cum
+    ),
+    samp AS (
+      SELECT edge_id, xs, ys, seg, cum, length, n, unnest(range(0, n)) AS i FROM base
+    ),
+    loc AS (
+      SELECT *, ((i + CAST(0.5 AS DOUBLE)) / n) * length AS d FROM samp
+    ),
+    jj AS (
+      SELECT *, 1 + len(list_filter(list_slice(cum, 1, len(cum) - 1), c -> c <= d)) AS j
+      FROM loc
+    )
+    SELECT edge_id, i,
+           xs[j] + (xs[j+1] - xs[j])
+             * ((d - CASE WHEN j = 1 THEN CAST(0 AS DOUBLE) ELSE cum[j-1] END) / seg[j]) AS x,
+           ys[j] + (ys[j+1] - ys[j])
+             * ((d - CASE WHEN j = 1 THEN CAST(0 AS DOUBLE) ELSE cum[j-1] END) / seg[j]) AS y
+    FROM jj
+    """,
+)
+def q_sample_polyline(spark, sf_dir):
+    """F4 general form: sampling points on multi-vertex (3-5 vertex)
+    polyline edges — the reference walks real LineStrings
+    (noise_graph_join/utils.py:23-30), never just 2-vertex segments.
+    Exact per-sample coordinates are oracle-compared (no aggregation)."""
+    from hope_graph_builder_spark.operators.sampling import sample_polyline
+
+    pl = synth.page_polylines(spark, sf_dir)
+    return sample_polyline(pl, index_col="i").select("edge_id", "i", "x", "y")
 
 
 # -------------------------------------------------------------- WKT (F1) --

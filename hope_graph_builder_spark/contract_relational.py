@@ -154,6 +154,7 @@ def q_a12(spark, sf_dir):
 @register(
     "a13_histogram",
     "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2",
+    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_a13(spark, sf_dir):
     return _li(spark, sf_dir).groupBy("l_returnflag", "l_linestatus").agg(
@@ -168,6 +169,7 @@ def q_a13(spark, sf_dir):
            AS mean_price
     FROM lineitem
     """,
+    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_a14(spark, sf_dir):
     """A14 golden-mean oracle (reference test mean 33.20)."""
@@ -210,7 +212,7 @@ def q_j6(spark, sf_dir):
 @register(
     "j9_lookup_default",
     """
-    SELECT l_returnflag, sum(coalesce(length(p.p_name), -1)) AS s
+    SELECT l_returnflag, CAST(sum(coalesce(length(p.p_name), -1)) AS BIGINT) AS s
     FROM lineitem l LEFT JOIN (SELECT * FROM part WHERE p_partkey % 3 = 0) p
       ON l.l_partkey = p.p_partkey
     GROUP BY l_returnflag
@@ -261,6 +263,7 @@ def q_j10(spark, sf_dir):
       FROM orders
     ) WHERE rnk <= 3
     """,
+    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_topk(spark, sf_dir):
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -339,6 +342,7 @@ def q_f11(spark, sf_dir):
                 ELSE 0 END AS bucket, count(*) AS cnt
     FROM lineitem GROUP BY 1
     """,
+    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_f12(spark, sf_dir):
     """F12 noise-range bucketing (reference graph_export/utils.py:44-52)."""
@@ -381,6 +385,7 @@ def q_f16(spark, sf_dir):
                                least(1.0, value / 200.0 + 0.6 * (value / 50.0))), 6) AS combined
     FROM events
     """,
+    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_f18(spark, sf_dir):
     """F18 combined-GVI formula shape (reference green_view_join_v1.py:94-115):
@@ -405,8 +410,8 @@ def q_f18(spark, sf_dir):
       FROM events
     )
     SELECT user_id,
-           1 + sum(CASE WHEN prev IS NOT NULL AND us - prev > 600000000 THEN 1 ELSE 0 END)
-           AS n_sessions
+           CAST(1 + sum(CASE WHEN prev IS NOT NULL AND us - prev > 600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions
     FROM t GROUP BY user_id
     """,
 )
@@ -441,6 +446,7 @@ def q_sessionize(spark, sf_dir):
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2
     """,
+    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_time_buckets(spark, sf_dir):
     """Windowed aggregation (batch twin of the streaming 5-min window)."""
@@ -466,6 +472,7 @@ def q_time_buckets(spark, sf_dir):
            CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F
     FROM lineitem GROUP BY l_returnflag
     """,
+    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_pivot(spark, sf_dir):
     """Pivot (layer-union→pivot is the engine's J1 rewrite; this is the

@@ -68,6 +68,7 @@ def q_exact_dedup(spark, sf_dir):
     SELECT doc_id, array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig_str
     FROM ({_sql_minhash_sig()})
     """,
+    late=True,  # subsumed by the composed LSH pipeline queries — yields its window slot
 )
 def q_minhash_sig(spark, sf_dir):
     sigs = dedup.minhash_signature(_docs(spark, sf_dir))
@@ -97,24 +98,84 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 @register(
+    "d_lsh_jaccard_verify",
+    f"""
+    WITH sigs AS ({_sql_minhash_sig()}),
+    bb AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(list_transform(
+                 list_slice(sig, b.range * 4 + 1, b.range * 4 + 4),
+                 x -> CAST(x AS VARCHAR)), ',')) AS bucket
+      FROM sigs, range(0, {dedup.BANDS}) b
+    ),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    SELECT a, b,
+           round_even(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cands JOIN sh sa ON sa.doc_id = cands.a JOIN sh sb ON sb.doc_id = cands.b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.2
+    """,
+)
+def q_lsh_jaccard_verify(spark, sf_dir):
+    """The composed scale-path dedup: LSH candidates → exact Jaccard
+    verify (candidates only — replaces the quadratic lang-blocked
+    self-join of d_ngram_jaccard at 100 TB)."""
+    p = dedup.lsh_jaccard_verify(_docs(spark, sf_dir), threshold=0.2)
+    return p.select("a", "b", F.bround("jaccard", 6).alias("jaccard"))
+
+
+def _sql_simhash_bit(b: int) -> str:
+    """DuckDB twin of one 64-bit SimHash majority bit (bits ≥60 come
+    from the '#b'-salted hash array — hash60 is only 60 bits wide)."""
+    src, shift = ("hs", b) if b < 60 else ("hs2", b - 60)
+    return (
+        f"CASE WHEN 2 * len(list_filter({src}, h -> (h >> {shift}) & 1 = 1))"
+        f" >= len(hs) THEN 1 ELSE 0 END"
+    )
+
+
+def _sql_simhash_hex() -> str:
+    """16 hex nibbles, MSB first — DuckDB BIGINT cannot hold bit 63
+    (1<<63 overflows), so both engines compare the two's-complement
+    hex rendering instead."""
+    nibbles = []
+    for k in range(16):  # k = 0 is the most significant nibble
+        lo = 4 * (15 - k)
+        v = " + ".join(f"({_sql_simhash_bit(lo + j)}) * {1 << j}" for j in range(4))
+        nibbles.append(f"substr('0123456789abcdef', ({v}) + 1, 1)")
+    return " || ".join(nibbles)
+
+
+@register(
     "d_simhash",
     f"""
     WITH th AS (
       SELECT doc_id,
              list_transform(list_distinct({_SQL_TOKENS}),
-                            t -> CAST(('0x' || substr(md5(t),1,15)) AS BIGINT)) AS hs
+                            t -> CAST(('0x' || substr(md5(t),1,15)) AS BIGINT)) AS hs,
+             list_transform(list_distinct({_SQL_TOKENS}),
+                            t -> CAST(('0x' || substr(md5(t || '#b'),1,15)) AS BIGINT)) AS hs2
       FROM documents
     )
-    SELECT doc_id,
-           list_sum(list_transform(range(0, 16), b ->
-             CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) >= len(hs)
-                  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+    SELECT doc_id, {_sql_simhash_hex()} AS simhash_hex
     FROM th
     """,
 )
 def q_simhash(spark, sf_dir):
+    """64-bit SimHash (16-bit saturates at web scale — 65k distinct
+    values across a 100 TB corpus). The operator returns a signed
+    long; the contract compares the hex rendering because DuckDB
+    BIGINT cannot form the sign bit."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", dedup.simhash16(F.col("text")).alias("simhash"))
+    return d.select(
+        "doc_id",
+        F.lower(F.lpad(F.hex(dedup.simhash(F.col("text"))), 16, "0")).alias("simhash_hex"),
+    )
 
 
 @register(
@@ -253,6 +314,7 @@ def _sql_lsh_bucket(vec: str) -> str:
 @register(
     "e_lsh_buckets",
     f"SELECT vec_id, {_sql_lsh_bucket('embedding')} AS bucket FROM embeddings",
+    late=True,  # subsumed by the composed LSH pipeline queries — yields its window slot
 )
 def q_lsh_buckets(spark, sf_dir):
     emb = _emb(spark, sf_dir)
@@ -308,9 +370,51 @@ def q_page_meta(spark, sf_dir):
     )
 
 
-@register("m_features")  # rows-only: pandas-UDF decode stub
+@register(
+    "m_features",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'https://example.org/' || lang || '/' || doc_id AS url,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             lower(hex(substr(text, 1, 4))) AS magic
+      FROM documents WHERE length(text) > 0
+    ),
+    nib AS (
+      SELECT doc_id, ascii(c) // 16 AS k
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents WHERE length(text) > 0)
+    ),
+    cnt AS (SELECT doc_id, k, CAST(count(*) AS BIGINT) AS n FROM nib GROUP BY 1, 2),
+    grid AS (
+      SELECT b.doc_id, g.k, coalesce(c.n, 0) AS n
+      FROM base b CROSS JOIN (SELECT unnest(range(0, 16)) AS k) g
+      LEFT JOIN cnt c ON c.doc_id = b.doc_id AND c.k = g.k
+    ),
+    vec AS (
+      SELECT doc_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY k) AS features_str
+      FROM grid GROUP BY doc_id
+    )
+    SELECT b.url, b.n_bytes, b.magic, v.features_str
+    FROM base b JOIN vec v USING (doc_id)
+    """,
+)
 def q_m_features(spark, sf_dir):
-    return multimodal.extract_features(synth.pages(spark, sf_dir))
+    """Multimodal decode plumbing (mapInPandas, Arrow batches). The
+    fake decode emits a normalized float32 16-bin byte histogram; the
+    contract recovers the exact integer bin counts (count/len is exact
+    enough in float32 for docs < 2^23 bytes that round() inverts it)
+    so the driver canonicalizer gets a hashable string instead of an
+    array<float> (r01 err: unhashable type 'list')."""
+    feats = multimodal.extract_features(
+        synth.pages(spark, sf_dir).filter(F.octet_length("html") > 0)
+    )
+    cnt = F.transform(
+        "features", lambda f: F.round(f * F.col("n_bytes")).cast("long").cast("string")
+    )
+    return feats.select(
+        "url", "n_bytes", "magic", F.concat_ws(",", cnt).alias("features_str")
+    )
 
 
 # ------------------------------------------------------------------ graph --

@@ -105,25 +105,73 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over token hashes: bit b set iff the majority of
-    tokens have bit b set. Native bit arithmetic over one token-hash
-    array (tokens hashed once)."""
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash over token hashes: bit b set iff the majority of tokens
+    have bit b set. Native bit arithmetic over one token-hash array
+    (tokens hashed once per 60-bit hash word).
+
+    Default 64-bit: 16-bit SimHash saturates at web scale (only 65k
+    distinct values across a 100 TB corpus). Bits 0-59 come from
+    hash60(token); bits 60-63 from hash60(token || '#b') — hash60 is a
+    60-bit value, so its high bits are constant-zero and unusable.
+    Bit 63 is set via Java's wrapping shiftleft and OR-accumulated
+    (never summed), so the result is a proper signed 64-bit long."""
     thash = F.transform(F.array_distinct(tokens(F.lower(text))), lambda t: hash60(t))
+    thash2 = None
+    if bits > 60:
+        thash2 = F.transform(
+            F.array_distinct(tokens(F.lower(text))),
+            lambda t: hash60(F.concat(t, F.lit("#b"))),
+        )
     ntok = F.size(thash)
 
     def bit_term(b: int):
+        src, shift = (thash, b) if b < 60 else (thash2, b - 60)
         cnt = F.size(
-            F.filter(thash, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == F.lit(1))
+            F.filter(src, lambda h: F.shiftright(h, shift).bitwiseAND(F.lit(1)) == F.lit(1))
         )
-        return F.when(cnt * 2 >= ntok, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        return F.when(
+            cnt * 2 >= ntok, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
 
     acc = F.lit(0).cast("long")
-    for b in range(16):
-        acc = acc + bit_term(b)
+    for b in range(bits):
+        acc = acc.bitwiseOR(bit_term(b))
     return acc
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash (kept as the compact variant; see simhash())."""
+    return simhash(text, bits=16)
+
+
+def lsh_jaccard_verify(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed scale-path dedup pipeline: MinHash+LSH candidate
+    pairs → join each side back to its shingle set → exact n-gram
+    Jaccard ≥ threshold. Work is linear in corpus size for the LSH
+    stage and quadratic only WITHIN buckets; the exact verifier runs
+    on candidate pairs only — never a blocked/blind cross product
+    (the 100 TB replacement for ngram_jaccard_pairs' lang blocking)."""
+    base = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    cands = minhash_dup_pairs(df, text_col, id_col)
+    sa = base.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
+    sb = base.select(F.col(id_col).alias("b"), F.col("sh").alias("shb"))
+    return (
+        cands.join(sa, "a").join(sb, "b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sha") + F.size("shb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(

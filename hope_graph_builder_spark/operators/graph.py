@@ -194,9 +194,37 @@ def remove_isolated_nodes(nodes: DataFrame, edges: DataFrame, id_col: str = "id"
     return nodes.join(used, id_col, "left_semi")
 
 
-def redensify_ids(nodes: DataFrame, id_col: str = "id") -> DataFrame:
+def redensify_ids(nodes: DataFrame, id_col: str = "id",
+                  partitions: int | None = None) -> DataFrame:
     """G4 (otp_graph_import.py:210-218): dense 0..n-1 ids by old-id
-    order — row_number window (single global sort; at scale use
-    zipWithIndex-style per-partition offsets)."""
-    w = Window.orderBy(F.col(id_col))
-    return nodes.withColumn("new_id", F.row_number().over(w) - 1)
+    order, WITHOUT a global single-task sort.
+
+    zipWithIndex-style, DataFrame-native: range-repartition + local
+    sort (parallel), then within each sorted partition
+    monotonically_increasing_id() is (pid << 33) + local row index —
+    so ``mid - min(mid per pid)`` is the local rank and a tiny
+    per-partition (count, min) aggregate, cumulated driver-free over
+    #partitions rows and broadcast back, yields the global dense id.
+    One range shuffle + one map-side-combined stats agg; no stage runs
+    on a single task, so G4 survives 100× node counts."""
+    P = partitions or max(nodes.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = (
+        nodes.repartitionByRange(P, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        # freeze the non-deterministic mid before it is read twice
+        .localCheckpoint()
+    )
+    stats = ranged.groupBy("_pid").agg(
+        F.count("*").alias("_cnt"), F.min("_mid").alias("_min")
+    )
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = stats.select(
+        "_pid", "_min", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off")
+    )
+    return (
+        ranged.join(F.broadcast(offs), "_pid")
+        .withColumn("new_id", F.col("_off") + (F.col("_mid") - F.col("_min")))
+        .drop("_pid", "_mid", "_min", "_off")
+    )

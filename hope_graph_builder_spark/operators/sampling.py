@@ -55,6 +55,113 @@ def sample_edges(
     )
 
 
+def sample_polyline(
+    edges: DataFrame,
+    interval: float = SAMPLING_INTERVAL_M,
+    edge_id: str = "edge_id",
+    xs: str = "xs",
+    ys: str = "ys",
+    index_col: str | None = None,
+) -> DataFrame:
+    """Multi-vertex LineString edges (edge_id, xs array<double>,
+    ys array<double>) → sample points (edge_id, sample_len, x, y) —
+    the general form of the reference's Shapely ``interpolate`` walk
+    over arbitrary polylines (noise_graph_join/utils.py:23-30).
+    ``sample_edges`` stays the 2-vertex fast path (same semantics,
+    asserted in tests).
+
+    Entirely native higher-order Column functions (no UDF):
+    per-segment lengths → running-sum boundaries (left fold, same
+    association order as the DuckDB oracle ⇒ bit-identical doubles) →
+    sequence+explode of sample indices → locate the segment whose
+    cumulative span covers the target distance → linear interpolation
+    within it. Vertex counts on street edges are small (tens), so the
+    O(n²) slice-folds stay in whole-stage codegen and beat any Arrow
+    round-trip."""
+
+    def fold_sum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    nseg = F.size(xs) - 1
+    seg = F.transform(
+        F.sequence(F.lit(1), nseg),
+        lambda i: F.sqrt(
+            (F.element_at(F.col(xs), (i + 1).cast("int")) - F.element_at(F.col(xs), i.cast("int")))
+            * (F.element_at(F.col(xs), (i + 1).cast("int")) - F.element_at(F.col(xs), i.cast("int")))
+            + (F.element_at(F.col(ys), (i + 1).cast("int")) - F.element_at(F.col(ys), i.cast("int")))
+            * (F.element_at(F.col(ys), (i + 1).cast("int")) - F.element_at(F.col(ys), i.cast("int")))
+        ),
+    )
+    df = edges.withColumn("_seg", seg)
+    cums = F.transform(
+        F.sequence(F.lit(1), F.size("_seg")),
+        lambda i: fold_sum(F.slice("_seg", F.lit(1), i)),
+    )
+    df = (
+        df.withColumn("_cum", cums)
+        .withColumn("_len", F.element_at("_cum", -1))
+        .withColumn(
+            "_n",
+            F.greatest(F.lit(1).cast("long"), F.rint(F.col("_len") / F.lit(interval)).cast("long")),
+        )
+        .withColumn("sample_len", F.col("_len") / F.col("_n"))
+        .withColumn("_i", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)))
+        .withColumn("_d", (F.col("_i") + F.lit(0.5)) / F.col("_n") * F.col("_len"))
+    )
+    # segment index (1-based): 1 + #interior boundaries ≤ d (the last
+    # boundary == length is excluded so d never lands past the end)
+    j = (
+        F.lit(1)
+        + F.size(
+            F.filter(
+                F.slice("_cum", F.lit(1), F.size("_cum") - 1),
+                lambda c: c <= F.col("_d"),
+            )
+        )
+    ).cast("int")
+    df = df.withColumn("_j", j).withColumn(
+        "_t",
+        (
+            F.col("_d")
+            - F.when(F.col("_j") == 1, F.lit(0.0)).otherwise(
+                F.element_at("_cum", F.col("_j") - 1)
+            )
+        )
+        / F.element_at("_seg", F.col("_j")),
+    )
+    extra = [F.col("_i").alias(index_col)] if index_col else []
+    return df.select(
+        edge_id,
+        "sample_len",
+        *extra,
+        (
+            F.element_at(F.col(xs), F.col("_j"))
+            + (F.element_at(F.col(xs), F.col("_j") + 1) - F.element_at(F.col(xs), F.col("_j")))
+            * F.col("_t")
+        ).alias("x"),
+        (
+            F.element_at(F.col(ys), F.col("_j"))
+            + (F.element_at(F.col(ys), F.col("_j") + 1) - F.element_at(F.col(ys), F.col("_j")))
+            * F.col("_t")
+        ).alias("y"),
+    )
+
+
+def polyline_length_expr(xs: str = "xs", ys: str = "ys") -> Column:
+    """F3 general polyline length as one native fold."""
+    nseg = F.size(xs) - 1
+    seg = F.transform(
+        F.sequence(F.lit(1), nseg),
+        lambda i: F.sqrt(
+            (F.element_at(F.col(xs), (i + 1).cast("int")) - F.element_at(F.col(xs), i.cast("int")))
+            * (F.element_at(F.col(xs), (i + 1).cast("int")) - F.element_at(F.col(xs), i.cast("int")))
+            + (F.element_at(F.col(ys), (i + 1).cast("int")) - F.element_at(F.col(ys), i.cast("int")))
+            * (F.element_at(F.col(ys), (i + 1).cast("int")) - F.element_at(F.col(ys), i.cast("int")))
+        ),
+    )
+    return F.aggregate(seg, F.lit(0.0), lambda a, x: a + x)
+
+
 def xy_id_expr(x: Column, y: Column) -> Column:
     """Quantized-location surrogate key (reference utils.py:58-65):
     coords rounded to 0.1 m (banker's, on the ×10-scaled double via

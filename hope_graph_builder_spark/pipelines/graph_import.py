@@ -79,7 +79,7 @@ def run_graph_import(
     spark: SparkSession,
     sf_dir: str,
     aoi: tuple[float, float, float, float] = (0.0, 0.0, 80000.0, 80000.0),
-    min_component_nodes: int = 1,
+    min_component_nodes: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Full §3.2 chain → (clean_nodes with dense new_id, clean_edges)."""
     e = filter_aoi(filter_traversable(edges_with_attrs(spark, sf_dir)), aoi)

@@ -23,6 +23,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(events_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
+        # the events table only — streaming the whole fixture dir with
+        # this schema would read 9 unrelated tables and silently corrupt
+        # the counts if any ever gained a ts/event_type column. The
+        # source needs a directory, so glob-filter to the events file.
+        .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
 

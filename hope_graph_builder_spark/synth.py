@@ -200,6 +200,50 @@ def page_edges_dense(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
     )
 
 
+MAX_PL_VERTS = 5
+
+
+def polyline_fragments(id_col: str = "edge_id") -> dict[str, object]:
+    """Shared Spark-SQL/DuckDB fragments for multi-vertex polyline
+    edges: nv = 3 + (id % 3) vertices (3..5); vertex 0 at the page
+    point, each next vertex offset by a per-(id, k) LCG delta. All
+    cumulative sums are expanded textually (same association order in
+    both engines ⇒ bit-identical doubles)."""
+    fr = xy_fragments(id_col)
+    vx, vy = [f"({fr['x']})"], [f"({fr['y']})"]
+    for k in range(1, MAX_PL_VERTS):
+        kid = f"({id_col} * {MAX_PL_VERTS} + {k})"
+        dxk = f"(({_h(kid, A3, C3)} % 201 - 100) / {D2})"
+        dyk = f"(({_h(kid, A4, C4)} % 201 - 100) / {D2})"
+        vx.append(f"({vx[-1]} + {dxk})")
+        vy.append(f"({vy[-1]} + {dyk})")
+    return {"vx": vx, "vy": vy, "nv": f"(3 + {id_col} % 3)"}
+
+
+def page_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vertex street edges (edge_id, xs array<double>,
+    ys array<double>) — the reference samples REAL polylines
+    (noise_graph_join/utils.py:23-30), never just segments."""
+    fr = polyline_fragments("edge_id")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("edge_id")
+    )
+    xs = f"slice(array({', '.join(fr['vx'])}), 1, {fr['nv']})"
+    ys = f"slice(array({', '.join(fr['vy'])}), 1, {fr['nv']})"
+    return d.select("edge_id", F.expr(xs).alias("xs"), F.expr(ys).alias("ys"))
+
+
+def sql_polylines(table: str = "documents") -> str:
+    """DuckDB twin of page_polylines."""
+    fr = polyline_fragments("edge_id")
+    return f"""
+    SELECT edge_id,
+           list_slice([{', '.join(fr['vx'])}], 1, {fr['nv']}) AS xs,
+           list_slice([{', '.join(fr['vy'])}], 1, {fr['nv']}) AS ys
+    FROM (SELECT doc_id AS edge_id FROM {table})
+    """
+
+
 def gvi_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GSV-style GVI sample points: 4 per page, deterministic
     (gvi_id, x, y, gvi_raw in [0, 100])."""
