@@ -301,6 +301,134 @@ def q_geojson(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- P4 / F9 geometry ops --
+
+_P4_AOI = (47700.5, 47700.5, 48900.5, 48900.5)
+
+
+@register(
+    "p4_boundary_filter",
+    f"""
+    WITH layers AS ({synth.sql_layers_duckdb()})
+    SELECT layer, poly_id FROM layers
+    WHERE (minx <= {_P4_AOI[2]} AND maxx >= {_P4_AOI[0]}
+           AND miny <= {_P4_AOI[3]} AND maxy >= {_P4_AOI[1]})
+      AND NOT (minx < {_P4_AOI[0]} AND maxx > {_P4_AOI[2]}
+               AND miny < {_P4_AOI[1]} AND maxy > {_P4_AOI[3]})
+    """,
+)
+def q_p4_boundary(spark, sf_dir):
+    """P4 boundary-intersects filter (noise_data_preprocessing.py:43-47):
+    keep polygons whose BOUNDARY touches the AOI. The engine runs the
+    general ring-segment slab test (exists over segments, codegen); the
+    oracle is the independent closed-form for rectangles (bbox overlap
+    AND NOT strict-containment) — two formulations, same truth table."""
+    from hope_graph_builder_spark.operators.geometry import (
+        ring_boundary_intersects_rect,
+    )
+
+    layers = synth.noise_layers(spark)
+    ring = layers.select(
+        "layer", "poly_id",
+        F.array("minx", "maxx", "maxx", "minx", "minx").alias("xs"),
+        F.array("miny", "miny", "maxy", "maxy", "miny").alias("ys"),
+    )
+    return ring.filter(
+        ring_boundary_intersects_rect(F.col("xs"), F.col("ys"), _P4_AOI)
+    ).select("layer", "poly_id")
+
+
+@register(
+    "f9_multipart_explode",
+    f"""
+    WITH pts AS ({synth.sql_points()}),
+    parts AS (SELECT doc_id, x, y, unnest(range(0, 1 + doc_id % 3)) AS k FROM pts)
+    SELECT doc_id, CAST(k AS INT) AS part_i,
+           CAST(CASE WHEN (doc_id + k) % 4 = 0 THEN 2 ELSE 1 END AS INT) AS n_rings,
+           x + k * CAST(37 AS DOUBLE) AS minx,
+           y + k * CAST(23 AS DOUBLE) AS miny,
+           (x + k * CAST(37 AS DOUBLE)) + CAST(10 + (doc_id * 7 + k * 13) % 50 AS DOUBLE) AS maxx,
+           (y + k * CAST(23 AS DOUBLE)) + CAST(8 + (doc_id * 11 + k * 17) % 40 AS DOUBLE) AS maxy
+    FROM parts
+    """,
+)
+def q_f9_explode(spark, sf_dir):
+    """F9 multi→single explode (noise_data_preprocessing.py:26-41):
+    deterministic multipolygon WKB (1-3 rect parts, some with hole
+    rings) → encode → decode + explode via Arrow mapInPandas → one row
+    per part with ring count and outer bbox. The oracle recomputes the
+    parts from the generator rules — the WKB round-trip must be exact."""
+    from hope_graph_builder_spark.operators.geometry import (
+        explode_multipolygon,
+        synth_multipolygons,
+    )
+
+    pts = synth.page_points(spark, sf_dir).select("doc_id", "x", "y")
+    geoms = synth_multipolygons(pts)
+    return explode_multipolygon(geoms)
+
+
+_EXTENT = (0.0, 0.0, 60000.0, 131072.0)
+
+
+@register(
+    "noise_nulls_extent",
+    f"""
+    WITH {flagship_ctes()},
+    exp AS (
+      SELECT edge_id, CAST(n_max_adj AS INT) AS db,
+             round_even(count(*) * min(sample_len), 5) AS exposure
+      FROM final_samples WHERE n_max_adj IS NOT NULL
+      GROUP BY edge_id, n_max_adj
+    ),
+    nn AS (SELECT edge_id, count(*) AS n_noises FROM exp GROUP BY edge_id),
+    src_rows AS (
+      SELECT edge_id, src, count(*) AS cnt
+      FROM (SELECT edge_id, unnest(n_max_sources) AS src FROM final_samples)
+      WHERE src IS NOT NULL GROUP BY edge_id, src
+    ),
+    ranked AS (
+      SELECT edge_id, src,
+             row_number() OVER (PARTITION BY edge_id ORDER BY cnt DESC, {_PRIO_SQL} ASC) AS rn
+      FROM src_rows
+    ),
+    flags AS (
+      SELECT edge_id,
+             ((x1 >= {_EXTENT[0]} AND x1 < {_EXTENT[2]} AND y1 >= {_EXTENT[1]} AND y1 < {_EXTENT[3]})
+              OR (x2 >= {_EXTENT[0]} AND x2 < {_EXTENT[2]} AND y2 >= {_EXTENT[1]} AND y2 < {_EXTENT[3]}))
+             AS in_extent
+      FROM edges
+    )
+    SELECT e.edge_id,
+           CASE WHEN NOT f.in_extent THEN CAST(-1 AS BIGINT)
+                ELSE coalesce(nn.n_noises, 0) END AS n_noises,
+           CASE WHEN NOT f.in_extent THEN NULL
+                ELSE coalesce(r.src, '') END AS noise_source
+    FROM edges e
+    JOIN flags f USING (edge_id)
+    LEFT JOIN nn USING (edge_id)
+    LEFT JOIN (SELECT edge_id, src FROM ranked WHERE rn = 1) r USING (edge_id)
+    """,
+)
+def q_noise_nulls_extent(spark, sf_dir):
+    """J3 three-valued semantics (reference noise_graph_update.py:29-48
+    / igraph.py:62): NULL (outside the noise-data extent) vs {} / ''
+    (inside, no match) vs populated. n_noises = -1 encodes the NULL
+    map so the driver hash distinguishes all three states."""
+    edges = _edges(spark, sf_dir)
+    out = run_noise_join(
+        edges, synth.noise_layers(spark), synth.NODATA_RECT, res=7,
+        extent_rect=_EXTENT,
+    )
+    return out.select(
+        "edge_id",
+        F.when(F.col("noises").isNull(), F.lit(-1).cast("long"))
+        .otherwise(F.size("noises").cast("long"))
+        .alias("n_noises"),
+        "noise_source",
+    )
+
+
 # ----------------------------------------------------------- graph import --
 
 @register(

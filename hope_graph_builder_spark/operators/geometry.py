@@ -1,0 +1,158 @@
+"""General-geometry operators: P4 boundary-intersects filter and F9
+multi-part explode (reference
+`/root/reference/src/noise_data_preprocessing/noise_data_preprocessing.py:26-47`,
+`get_nodata_areas.py:31-34`).
+
+The boundary test is entirely native Column arithmetic (a Liang-Barsky
+slab test per ring segment under ``exists``, whole-stage codegen); the
+multi-part explode decodes OGC WKB in Arrow-batched ``mapInPandas``
+(binary parsing is the one thing Columns can't express) and emits the
+per-part scalars every downstream rect/bbox operator consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark.spatial import wkb as wkbmod
+
+_BIG = 1e300  # stand-in for ±inf (engine-portable, no literal parsing)
+
+
+def _axis_t(p0: Column, d: Column, lo: float, hi: float) -> tuple[Column, Column]:
+    """Entry/exit parameter range of one slab; degenerate axis (d == 0)
+    collapses to (-BIG, BIG) inside the slab and an empty range outside."""
+    inside = (p0 >= lo) & (p0 <= hi)
+    t_a = (F.lit(lo) - p0) / d
+    t_b = (F.lit(hi) - p0) / d
+    return (
+        F.when(d != 0.0, F.least(t_a, t_b)).otherwise(
+            F.when(inside, F.lit(-_BIG)).otherwise(F.lit(_BIG))
+        ),
+        F.when(d != 0.0, F.greatest(t_a, t_b)).otherwise(
+            F.when(inside, F.lit(_BIG)).otherwise(F.lit(-_BIG))
+        ),
+    )
+
+
+def segment_intersects_rect(
+    x0: Column, y0: Column, x1: Column, y1: Column,
+    rect: tuple[float, float, float, float],
+) -> Column:
+    """True iff the closed segment (x0,y0)-(x1,y1) touches the closed
+    axis-aligned rect — Liang-Barsky slab test, pure codegen arithmetic."""
+    rx0, ry0, rx1, ry1 = rect
+    dx, dy = x1 - x0, y1 - y0
+    tx_lo, tx_hi = _axis_t(x0, dx, rx0, rx1)
+    ty_lo, ty_hi = _axis_t(y0, dy, ry0, ry1)
+    enter = F.greatest(tx_lo, ty_lo, F.lit(0.0))
+    leave = F.least(tx_hi, ty_hi, F.lit(1.0))
+    return enter <= leave
+
+
+def ring_boundary_intersects_rect(
+    xs: Column, ys: Column, rect: tuple[float, float, float, float]
+) -> Column:
+    """P4 (noise_data_preprocessing.py:43-47): does the polygon RING
+    (boundary) touch the rect? ``exists`` over the ring's segments —
+    note this is boundary ∩ rect, NOT polygon ∩ rect: a polygon whose
+    interior swallows the rect whole is correctly False."""
+    idx = F.sequence(F.lit(1), F.size(xs) - 1)
+    return F.exists(
+        idx,
+        lambda i: segment_intersects_rect(
+            F.element_at(xs, i.cast("int")),
+            F.element_at(ys, i.cast("int")),
+            F.element_at(xs, (i + 1).cast("int")),
+            F.element_at(ys, (i + 1).cast("int")),
+            rect,
+        ),
+    )
+
+
+# ------------------------------------------------------------- F9 explode --
+
+_PART_SCHEMA = (
+    "doc_id long, part_i int, n_rings int, "
+    "minx double, miny double, maxx double, maxy double"
+)
+
+
+def explode_multipolygon(df: DataFrame, wkb_col: str = "geom",
+                         id_col: str = "doc_id") -> DataFrame:
+    """F9 multi→single explode: one row per polygon part with its ring
+    count and outer-ring bbox. Arrow-batched mapInPandas, no shuffle —
+    partitioning is inherited, so at 100 TB this is a pure map stage."""
+    gcol, icol = wkb_col, id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pi, nr, x0, y0, x1, y1 = [], [], [], [], [], [], []
+            for did, buf in zip(pdf[icol], pdf[gcol]):
+                for k, rings in enumerate(wkbmod.multipolygon_from_wkb(bytes(buf))):
+                    outer = rings[0]
+                    ids.append(did)
+                    pi.append(k)
+                    nr.append(len(rings))
+                    x0.append(outer[:, 0].min())
+                    y0.append(outer[:, 1].min())
+                    x1.append(outer[:, 0].max())
+                    y1.append(outer[:, 1].max())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "part_i": pd.Series(pi, dtype="int32"),
+                    "n_rings": pd.Series(nr, dtype="int32"),
+                    "minx": pd.Series(x0, dtype="float64"),
+                    "miny": pd.Series(y0, dtype="float64"),
+                    "maxx": pd.Series(x1, dtype="float64"),
+                    "maxy": pd.Series(y1, dtype="float64"),
+                }
+            )
+
+    return df.select(icol, gcol).mapInPandas(op, schema=_PART_SCHEMA)
+
+
+def synth_multipolygons(points: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic multipolygon WKB fixture: (id, x, y) → 1-3 rect
+    parts, every (id + k) % 4 == 0 part carrying one hole ring. The
+    coordinate arithmetic runs in numpy float64 with the same operation
+    order as the DuckDB oracle twin (synth-rule parity, not a WKB
+    reference import)."""
+    icol = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            geoms = []
+            for did, x, y in zip(pdf[icol], pdf["x"], pdf["y"]):
+                nparts = 1 + did % 3
+                parts = []
+                for k in range(nparts):
+                    minx = x + k * 37.0
+                    miny = y + k * 23.0
+                    w = float(10 + (did * 7 + k * 13) % 50)
+                    h = float(8 + (did * 11 + k * 17) % 40)
+                    outer = np.array(
+                        [[minx, miny], [minx + w, miny],
+                         [minx + w, miny + h], [minx, miny + h], [minx, miny]]
+                    )
+                    rings = [outer]
+                    if (did + k) % 4 == 0:
+                        hw = float(1 + (did + k) % 3)
+                        hh = float(1 + (did + k) % 2)
+                        hole = np.array(
+                            [[minx + 2.0, miny + 2.0], [minx + 2.0 + hw, miny + 2.0],
+                             [minx + 2.0 + hw, miny + 2.0 + hh],
+                             [minx + 2.0, miny + 2.0 + hh], [minx + 2.0, miny + 2.0]]
+                        )
+                        rings.append(hole)
+                    parts.append(rings)
+                geoms.append(wkbmod.multipolygon_to_wkb(parts))
+            yield pd.DataFrame({"doc_id": pdf[icol], "geom": geoms})
+
+    return points.select(icol, "x", "y").mapInPandas(op, schema="doc_id long, geom binary")

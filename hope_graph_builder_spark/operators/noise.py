@@ -158,6 +158,7 @@ def aggregate_noises_by_edge(
     final_samples: DataFrame,
     edge_id: str = "edge_id",
     edges_all: DataFrame | None = None,
+    extent_flag: str | None = None,
 ) -> DataFrame:
     """Edge-level noise attributes (utils.py:234-275):
 
@@ -165,6 +166,14 @@ def aggregate_noises_by_edge(
     - noise_source:  most frequent source over all samples' co-max
                      source lists ('' when none)
     - noise_sources: map<string,int> source → sample count
+
+    Three-valued semantics (J3, reference noise_graph_update.py:29-48
+    + igraph.py:62): when ``extent_flag`` names a boolean column on
+    ``edges_all``, edges OUTSIDE the noise-data extent get
+    noises=NULL / noise_source=NULL / noise_sources=NULL (nodata);
+    edges inside with no matches keep the {} / '' / {} defaults.
+    Without the flag every unmatched edge coalesces to {} (two-valued,
+    the r01 behavior).
 
     Tie-break deviation (documented): the reference's
     ``statistics.mode`` picks the first-encountered value on ties
@@ -195,13 +204,32 @@ def aggregate_noises_by_edge(
         # the input edge list; callers that have it pass it to skip
         # this shuffle
         edges_all = final_samples.select(edge_id).distinct()
+    empty_noises = F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<double>")
+    )
+    empty_sources = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<int>")
+    )
+    if extent_flag is None:
+        in_extent = F.lit(True)
+    else:
+        in_extent = F.col(extent_flag)
+    null_noises = F.lit(None).cast("map<int,double>")
+    null_src = F.lit(None).cast("string")
+    null_sources = F.lit(None).cast("map<string,int>")
     return (
         edges_all.join(noises, edge_id, "left")
         .join(src_agg, edge_id, "left")
         .select(
             edge_id,
-            F.coalesce("noises", F.map_from_arrays(F.array().cast("array<int>"), F.array().cast("array<double>"))).alias("noises"),
-            F.coalesce("noise_source", F.lit("")).alias("noise_source"),
-            F.coalesce("noise_sources", F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<int>"))).alias("noise_sources"),
+            F.when(in_extent, F.coalesce("noises", empty_noises))
+            .otherwise(null_noises)
+            .alias("noises"),
+            F.when(in_extent, F.coalesce("noise_source", F.lit("")))
+            .otherwise(null_src)
+            .alias("noise_source"),
+            F.when(in_extent, F.coalesce("noise_sources", empty_sources))
+            .otherwise(null_sources)
+            .alias("noise_sources"),
         )
     )

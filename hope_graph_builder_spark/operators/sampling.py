@@ -32,6 +32,7 @@ def sample_edges(
     edges: DataFrame,
     interval: float = SAMPLING_INTERVAL_M,
     edge_id: str = "edge_id",
+    index_col: str | None = None,
 ) -> DataFrame:
     """2-vertex edges (x1,y1,x2,y2,length) → sample points
     (edge_id, sample_len, x, y). Pure Column arithmetic: sequence +
@@ -47,9 +48,11 @@ def sample_edges(
         .withColumn("_i", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)))
         .withColumn("_frac", (F.col("_i") + F.lit(0.5)) / F.col("_n"))
     )
+    extra = [F.col("_i").alias(index_col)] if index_col else []
     return df.select(
         edge_id,
         "sample_len",
+        *extra,
         (F.col("x1") + (F.col("x2") - F.col("x1")) * F.col("_frac")).alias("x"),
         (F.col("y1") + (F.col("y2") - F.col("y1")) * F.col("_frac")).alias("y"),
     )

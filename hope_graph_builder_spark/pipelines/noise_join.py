@@ -130,9 +130,15 @@ def run_noise_join(
     ring_count: int = 20,
     salt: int = 1,
     hot: DataFrame | None = None,
+    extent_rect: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """Full flagship: → edge_noises(edge_id, noises map, noise_source,
-    noise_sources map)."""
+    noise_sources map).
+
+    ``extent_rect`` enables the J3 three-valued semantics (reference
+    noise_graph_update.py:29-48): edges with NO endpoint inside the
+    noise-data extent get noises=NULL / noise_source=NULL (nodata)
+    instead of the inside-but-unmatched {} / '' defaults."""
     final = noise_final_samples(
         edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot
     )
@@ -140,4 +146,15 @@ def run_noise_join(
     # this — persist a SLIM all-numeric projection (array columns make
     # the columnar cache build the dominant cost at scale)
     slim = _persist(final.select("edge_id", "sample_len", "n_max_adj", "n_max_mask"))
-    return aggregate_noises_by_edge(slim, edges_all=edges.select("edge_id"))
+    if extent_rect is None:
+        return aggregate_noises_by_edge(slim, edges_all=edges.select("edge_id"))
+    ex0, ey0, ex1, ey1 = extent_rect
+    inside = lambda x, y: (  # noqa: E731
+        (F.col(x) >= ex0) & (F.col(x) < ex1) & (F.col(y) >= ey0) & (F.col(y) < ey1)
+    )
+    edges_flagged = edges.select(
+        "edge_id", (inside("x1", "y1") | inside("x2", "y2")).alias("in_extent")
+    )
+    return aggregate_noises_by_edge(
+        slim, edges_all=edges_flagged, extent_flag="in_extent"
+    )

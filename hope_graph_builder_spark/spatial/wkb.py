@@ -23,6 +23,7 @@ _LE = 1
 WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
+WKB_MULTIPOLYGON = 6
 
 _POINT_HEAD = struct.pack("<BI", _LE, WKB_POINT)
 
@@ -74,6 +75,59 @@ def polygon_from_wkb(buf: bytes) -> np.ndarray:
     assert nrings >= 1
     (n,) = struct.unpack_from("<I", buf, 9)
     return np.frombuffer(buf, dtype="<f8", count=2 * n, offset=13).reshape(n, 2)
+
+
+def polygon_to_wkb_rings(rings: list[np.ndarray]) -> bytes:
+    """Polygon with holes: rings[0] = outer, rings[1:] = holes."""
+    closed = []
+    for r in rings:
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        closed.append(np.ascontiguousarray(r, dtype="<f8"))
+    head = struct.pack("<BII", _LE, WKB_POLYGON, len(closed))
+    body = b"".join(
+        struct.pack("<I", r.shape[0]) + r.tobytes() for r in closed
+    )
+    return head + body
+
+
+def multipolygon_to_wkb(parts: list[list[np.ndarray]]) -> bytes:
+    """MultiPolygon: parts = list of polygons, each a list of rings
+    (outer first). OGC type 6, little-endian."""
+    head = struct.pack("<BII", _LE, WKB_MULTIPOLYGON, len(parts))
+    return head + b"".join(polygon_to_wkb_rings(rings) for rings in parts)
+
+
+def polygon_rings_from_wkb(buf: bytes, offset: int = 0) -> tuple[list[np.ndarray], int]:
+    """All rings of one polygon record; returns (rings, next offset)."""
+    assert buf[offset] == _LE
+    (t,) = struct.unpack_from("<I", buf, offset + 1)
+    assert t == WKB_POLYGON, t
+    (nrings,) = struct.unpack_from("<I", buf, offset + 5)
+    p = offset + 9
+    rings = []
+    for _ in range(nrings):
+        (n,) = struct.unpack_from("<I", buf, p)
+        rings.append(np.frombuffer(buf, "<f8", 2 * n, p + 4).reshape(n, 2))
+        p += 4 + 16 * n
+    return rings, p
+
+
+def multipolygon_from_wkb(buf: bytes) -> list[list[np.ndarray]]:
+    """F9 decode (reference noise_data_preprocessing.py:26-41 explodes
+    multi→single parts): list of polygons, each a list of rings."""
+    assert buf[0] == _LE
+    t = wkb_type(buf)
+    if t == WKB_POLYGON:  # single part rides through unchanged
+        rings, _ = polygon_rings_from_wkb(buf)
+        return [rings]
+    assert t == WKB_MULTIPOLYGON, t
+    (nparts,) = struct.unpack_from("<I", buf, 5)
+    out, off = [], 9
+    for _ in range(nparts):
+        rings, off = polygon_rings_from_wkb(buf, off)
+        out.append(rings)
+    return out
 
 
 def rect_to_wkb(minx: float, miny: float, maxx: float, maxy: float) -> bytes:

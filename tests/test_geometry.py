@@ -1,0 +1,96 @@
+"""P4 boundary-intersects + F9 multipolygon explode invariants."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark.operators.geometry import (
+    explode_multipolygon,
+    ring_boundary_intersects_rect,
+    segment_intersects_rect,
+    synth_multipolygons,
+)
+from hope_graph_builder_spark.spatial import wkb
+
+from tests.conftest import SF_TINY
+
+
+def test_wkb_multipolygon_roundtrip():
+    outer = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 8.0], [0.0, 8.0], [0.0, 0.0]])
+    hole = np.array([[2.0, 2.0], [4.0, 2.0], [4.0, 3.0], [2.0, 3.0], [2.0, 2.0]])
+    part2 = np.array([[50.0, 50.0], [60.0, 50.0], [60.0, 55.0], [50.0, 55.0], [50.0, 50.0]])
+    buf = wkb.multipolygon_to_wkb([[outer, hole], [part2]])
+    assert wkb.wkb_type(buf) == wkb.WKB_MULTIPOLYGON
+    parts = wkb.multipolygon_from_wkb(buf)
+    assert len(parts) == 2
+    assert len(parts[0]) == 2 and len(parts[1]) == 1
+    assert np.array_equal(parts[0][0], outer)
+    assert np.array_equal(parts[0][1], hole)
+    # a bare POLYGON decodes as a single part
+    single = wkb.polygon_to_wkb_rings([outer, hole])
+    assert len(wkb.multipolygon_from_wkb(single)) == 1
+
+
+def test_segment_rect_slab_cases(spark):
+    rect = (10.0, 10.0, 20.0, 20.0)
+    cases = [
+        # (x0, y0, x1, y1, expected)
+        (0.0, 0.0, 5.0, 5.0, False),      # fully outside
+        (0.0, 15.0, 30.0, 15.0, True),    # crosses horizontally
+        (12.0, 12.0, 18.0, 18.0, True),   # fully inside
+        (0.0, 0.0, 30.0, 30.0, True),     # diagonal through
+        (0.0, 25.0, 30.0, 25.0, False),   # parallel above
+        (15.0, 0.0, 15.0, 30.0, True),    # vertical through (dx=0)
+        (5.0, 0.0, 5.0, 30.0, False),     # vertical beside (dx=0)
+        (10.0, 0.0, 10.0, 30.0, True),    # touches left edge exactly
+        (0.0, 0.0, 10.0, 10.0, True),     # endpoint touches corner
+        (21.0, 15.0, 30.0, 15.0, False),  # starts right of rect
+    ]
+    df = spark.createDataFrame(
+        [(i, *c[:4]) for i, c in enumerate(cases)], "i int, x0 double, y0 double, x1 double, y1 double"
+    )
+    got = {
+        r.i: r.hit
+        for r in df.select(
+            "i",
+            segment_intersects_rect(
+                F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), rect
+            ).alias("hit"),
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == c[4], f"case {i}: {c}"
+
+
+def test_ring_boundary_vs_containment(spark):
+    """A ring whose interior strictly contains the rect does NOT
+    boundary-intersect it; an overlapping ring does."""
+    big = ([0.0, 100.0, 100.0, 0.0, 0.0], [0.0, 0.0, 100.0, 100.0, 0.0])
+    crossing = ([5.0, 15.0, 15.0, 5.0, 5.0], [5.0, 5.0, 15.0, 15.0, 5.0])
+    df = spark.createDataFrame(
+        [(0, *big), (1, *crossing)], "i int, xs array<double>, ys array<double>"
+    )
+    rect = (10.0, 10.0, 20.0, 20.0)
+    got = {
+        r.i: r.hit
+        for r in df.select(
+            "i", ring_boundary_intersects_rect(F.col("xs"), F.col("ys"), rect).alias("hit")
+        ).collect()
+    }
+    assert got[0] is False
+    assert got[1] is True
+
+
+def test_multipart_explode_invariants(spark):
+    pts = spark.createDataFrame(
+        [(i, 100.0 * i, 50.0 * i) for i in range(12)], "doc_id long, x double, y double"
+    )
+    parts = explode_multipolygon(synth_multipolygons(pts)).toPandas()
+    # 1 + doc_id % 3 parts per doc
+    counts = parts.groupby("doc_id").size()
+    for did, n in counts.items():
+        assert n == 1 + did % 3
+    # hole rule: n_rings == 2 iff (doc_id + part_i) % 4 == 0
+    for _, r in parts.iterrows():
+        assert (r.n_rings == 2) == ((r.doc_id + r.part_i) % 4 == 0)
+    # bboxes are non-degenerate and ordered
+    assert (parts.maxx > parts.minx).all() and (parts.maxy > parts.miny).all()

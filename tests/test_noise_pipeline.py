@@ -92,6 +92,95 @@ def test_three_valued_semantics(edge_noises):
         assert r.no_noise == r.no_src == r.no_srcs
 
 
+def test_three_valued_null_extent(spark, edges, layers):
+    """J3 (reference noise_graph_update.py:29-48): with a data-extent
+    rect, all THREE states exist and stay coupled — NULL (outside
+    extent), {} / '' (inside, unmatched), populated."""
+    # extent = left half of the world → a real NULL set; layers thinned
+    # to x < 30000 → an in-extent band with zero coverage → a real {}
+    # set (the full grid covers every in-extent edge otherwise)
+    out = run_noise_join(
+        edges, layers.filter(F.col("minx") < 30000.0), synth.NODATA_RECT, res=9,
+        extent_rect=(0.0, 0.0, 50000.0, 131072.0),
+    ).cache()
+    counts = out.select(
+        F.count(F.when(F.col("noises").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.size("noises") == 0, 1)).alias("n_empty"),
+        F.count(F.when(F.size("noises") > 0, 1)).alias("n_full"),
+    ).collect()[0]
+    assert counts.n_null > 0 and counts.n_empty > 0 and counts.n_full > 0
+    # the three columns agree on the state per row
+    coupled = out.select(
+        (F.col("noises").isNull() == F.col("noise_source").isNull()).alias("a"),
+        (F.col("noises").isNull() == F.col("noise_sources").isNull()).alias("b"),
+    ).filter(~F.col("a") | ~F.col("b")).count()
+    assert coupled == 0
+    # NULL only outside the extent
+    flagged = edges.select(
+        "edge_id",
+        (
+            ((F.col("x1") >= 0) & (F.col("x1") < 50000.0))
+            | ((F.col("x2") >= 0) & (F.col("x2") < 50000.0))
+        ).alias("in_extent"),
+    )
+    bad = (
+        out.join(flagged, "edge_id")
+        .filter(F.col("noises").isNull() == F.col("in_extent"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_polyline_fast_path_parity(spark, edges):
+    """sample_polyline on 2-vertex arrays reproduces sample_edges
+    pointwise (F4 general form vs fast path). Tolerance 1e-8: the
+    polyline path recomputes length as sqrt((x2-x1)²+…) while the fast
+    path reuses the precomputed length column — 1-ulp differences in
+    (x1+dx)-x1 are expected, semantic differences are not."""
+    from hope_graph_builder_spark.operators.sampling import sample_polyline
+
+    two = edges.select(
+        "edge_id", F.array("x1", "x2").alias("xs"), F.array("y1", "y2").alias("ys")
+    )
+    a = sample_edges(edges, index_col="i")
+    b = sample_polyline(two, index_col="i").withColumnRenamed(
+        "sample_len", "sample_len_b"
+    ).withColumnRenamed("x", "xb").withColumnRenamed("y", "yb")
+    j = a.join(b, ["edge_id", "i"], "full")
+    assert j.filter(F.col("x").isNull() | F.col("xb").isNull()).count() == 0
+    mx = j.agg(
+        F.max(
+            F.greatest(
+                F.abs(F.col("x") - F.col("xb")),
+                F.abs(F.col("y") - F.col("yb")),
+                F.abs(F.col("sample_len") - F.col("sample_len_b")),
+            )
+        )
+    ).collect()[0][0]
+    assert mx < 1e-8
+
+
+def test_polyline_length_conservation(spark):
+    """Σ sample_len per polyline edge == polyline length (the general-
+    form twin of test_sample_len_conservation)."""
+    from hope_graph_builder_spark.operators.sampling import (
+        polyline_length_expr,
+        sample_polyline,
+    )
+
+    pl = synth.page_polylines(spark, SF_TINY).cache()
+    s = sample_polyline(pl)
+    chk = (
+        s.groupBy("edge_id").agg(F.sum("sample_len").alias("tot"))
+        .join(pl.select("edge_id", polyline_length_expr().alias("length")), "edge_id")
+        .agg(F.max(F.abs(F.col("tot") - F.col("length"))))
+        .collect()[0][0]
+    )
+    assert chk < 1e-5
+    # ≥3-vertex inputs really occur (the whole point of the fixture)
+    assert pl.filter(F.size("xs") >= 3).count() > 0
+
+
 def test_golden_counts(edge_noises, edges):
     """Pinned golden statistics for the deterministic sf0.001 fixture
     (counterpart of the reference's 3522-edge goldens)."""
