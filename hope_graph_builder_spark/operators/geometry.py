@@ -118,6 +118,43 @@ def explode_multipolygon(df: DataFrame, wkb_col: str = "geom",
     return df.select(icol, gcol).mapInPandas(op, schema=_PART_SCHEMA)
 
 
+def polylines_from_wkb(df: DataFrame, wkb_col: str = "geom",
+                       id_col: str = "edge_id") -> DataFrame:
+    """WKB LineString column → (id, xs array<double>, ys array<double>)
+    — the ingest shim that lets WKB-borne street geometry feed
+    ``sample_polyline`` (reference edges arrive as geometry columns,
+    utils.py:23-30). Arrow-batched mapInPandas; no shuffle."""
+    gcol, icol = wkb_col, id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            xs, ys = [], []
+            for buf in pdf[gcol]:
+                coords = wkbmod.linestring_from_wkb(bytes(buf))
+                xs.append(coords[:, 0].tolist())
+                ys.append(coords[:, 1].tolist())
+            yield pd.DataFrame({icol: pdf[icol], "xs": xs, "ys": ys})
+
+    return df.select(icol, gcol).mapInPandas(
+        op, schema=f"{icol} long, xs array<double>, ys array<double>"
+    )
+
+
+def polylines_to_wkb(df: DataFrame, id_col: str = "edge_id") -> DataFrame:
+    """(id, xs, ys) → WKB LineString binary (the sink-side twin)."""
+    icol = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            geoms = [
+                wkbmod.linestring_to_wkb(np.column_stack([np.asarray(x), np.asarray(y)]))
+                for x, y in zip(pdf["xs"], pdf["ys"])
+            ]
+            yield pd.DataFrame({icol: pdf[icol], "geom": geoms})
+
+    return df.select(icol, "xs", "ys").mapInPandas(op, schema=f"{icol} long, geom binary")
+
+
 def synth_multipolygons(points: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic multipolygon WKB fixture: (id, x, y) → 1-3 rect
     parts, every (id + k) % 4 == 0 part carrying one hole ring. The

@@ -140,18 +140,28 @@ def edge_db_rows(final_samples: DataFrame, edge_id: str = "edge_id") -> DataFram
 def edge_source_rows(final_samples: DataFrame, edge_id: str = "edge_id") -> DataFrame:
     """Flat source-count rows (edge_id, src, cnt) — the Counter over
     co-max source sets (utils.py:264-271). Implemented over the
-    n_max_mask bitmask (union of 4 literal-bit filters — no array
-    explode, stays in codegen)."""
-    parts = [
-        final_samples.filter(
-            F.shiftright(F.col("n_max_mask"), i).bitwiseAND(F.lit(1)) == 1
-        ).select(edge_id, F.lit(s).alias("src"))
-        for i, s in enumerate(SOURCES)
-    ]
-    allrows = parts[0]
-    for p in parts[1:]:
-        allrows = allrows.unionByName(p)
-    return allrows.groupBy(edge_id, "src").agg(F.count("*").alias("cnt"))
+    n_max_mask bitmask as ONE generate (explode of the set bits):
+    unlike the previous 4-way filter-union, Generate PRESERVES the
+    child's partitioning, so on an edge_id-partitioned input the
+    groupBy needs no exchange (the union reset partitioning and forced
+    one)."""
+    entries = F.filter(
+        F.array(
+            *[
+                F.when(
+                    F.shiftright(F.col("n_max_mask"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(s),
+                )
+                for i, s in enumerate(SOURCES)
+            ]
+        ),
+        lambda e: e.isNotNull(),
+    )
+    return (
+        final_samples.select(edge_id, F.explode(entries).alias("src"))
+        .groupBy(edge_id, "src")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def aggregate_noises_by_edge(
@@ -180,29 +190,95 @@ def aggregate_noises_by_edge(
     (row-order dependent, utils.py:260); we pin a deterministic rule —
     highest count, then fixed source order road>train>tram>metro.
 
-    Input: one row per (edge sample), with n_max_adj, n_max_sources,
-    sample_len. Two grouped passes (db histogram, source histogram) +
-    one reassembly join — all equi-shuffles on edge_id.
+    Input: one row per (edge sample), with n_max_adj, n_max_mask,
+    sample_len (sample_len is constant per edge: length / n).
+
+    ONE grouped pass: collect the (adj, mask) pairs per edge and build
+    all three outputs with native array expressions. The previous form
+    (two grouped passes feeding two per-edge rollups plus a reassembly
+    join) cost 5 exchanges / 6 stages; stage-launch latency was the
+    measured N-vs-4N scaling floor, and a cached repartition cannot fix
+    it because AQE hides a cached plan's output partitioning from
+    EnsureRequirements (re-verified on 4.1). This form is exactly one
+    exchange — and the map-side partial collect buffers only the two
+    small ints per sample.
     """
-    db = edge_db_rows(final_samples, edge_id)
-    noises = db.groupBy(edge_id).agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("db", "exposure")))
-        ).alias("noises")
+    rows_col = F.collect_list(
+        F.struct(F.col("n_max_adj").alias("adj"), F.col("n_max_mask").alias("mask"))
     )
-    src_rows = edge_source_rows(final_samples, edge_id)
-    prio = F.array_position(F.array(*[F.lit(s) for s in SOURCES]), F.col("src"))
-    src_agg = src_rows.groupBy(edge_id).agg(
-        F.max_by(F.col("src"), F.struct(F.col("cnt"), (-prio).alias("p"))).alias("noise_source"),
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("src", F.col("cnt").cast("int"))))
-        ).alias("noise_sources"),
+    g = final_samples.groupBy(edge_id).agg(
+        rows_col.alias("_rows"), F.min("sample_len").alias("_sl")
     )
 
+    adjs = F.sort_array(
+        F.array_distinct(
+            F.transform(
+                F.filter(F.col("_rows"), lambda r: r["adj"].isNotNull()),
+                lambda r: r["adj"],
+            )
+        )
+    )
+    # exposure per dB class = round(count × sample_len, 5)  (A2/A7)
+    noises = F.map_from_entries(
+        F.transform(
+            adjs,
+            lambda a: F.struct(
+                a.cast("int").alias("db"),
+                F.bround(
+                    F.size(F.filter(F.col("_rows"), lambda r: r["adj"] == a))
+                    * F.col("_sl"),
+                    5,
+                ).alias("exposure"),
+            ),
+        )
+    )
+
+    def src_cnt(i: int) -> Column:
+        return F.size(
+            F.filter(
+                F.col("_rows"),
+                lambda r: F.shiftright(r["mask"], i).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+
+    pairs = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    src_cnt(i).alias("cnt"),
+                    F.lit(-i).alias("negprio"),
+                    F.lit(s).alias("src"),
+                )
+                for i, s in enumerate(SOURCES)
+            ]
+        ),
+        lambda p: p["cnt"] > 0,
+    )
+    # mode with the deterministic tie-break: max count, then the fixed
+    # source order (struct ordering: cnt, then -priority)
+    noise_source = F.when(F.size(pairs) > 0, F.array_max(pairs)["src"]).otherwise(
+        F.lit("")
+    )
+    noise_sources = F.map_from_entries(
+        F.sort_array(
+            F.transform(
+                pairs, lambda p: F.struct(p["src"].alias("src"), p["cnt"].alias("cnt"))
+            )
+        )
+    )
+
+    out = g.select(
+        edge_id,
+        noises.alias("noises"),
+        noise_source.alias("noise_source"),
+        noise_sources.alias("noise_sources"),
+    )
+
+    if edges_all is None and extent_flag is None:
+        # every edge yields ≥1 sample ⇒ the group keys already ARE the
+        # full edge list: no reassembly join at all
+        return out
     if edges_all is None:
-        # every edge yields ≥1 sample, so the distinct sample edges ==
-        # the input edge list; callers that have it pass it to skip
-        # this shuffle
         edges_all = final_samples.select(edge_id).distinct()
     empty_noises = F.map_from_arrays(
         F.array().cast("array<int>"), F.array().cast("array<double>")
@@ -210,26 +286,16 @@ def aggregate_noises_by_edge(
     empty_sources = F.map_from_arrays(
         F.array().cast("array<string>"), F.array().cast("array<int>")
     )
-    if extent_flag is None:
-        in_extent = F.lit(True)
-    else:
-        in_extent = F.col(extent_flag)
-    null_noises = F.lit(None).cast("map<int,double>")
-    null_src = F.lit(None).cast("string")
-    null_sources = F.lit(None).cast("map<string,int>")
-    return (
-        edges_all.join(noises, edge_id, "left")
-        .join(src_agg, edge_id, "left")
-        .select(
-            edge_id,
-            F.when(in_extent, F.coalesce("noises", empty_noises))
-            .otherwise(null_noises)
-            .alias("noises"),
-            F.when(in_extent, F.coalesce("noise_source", F.lit("")))
-            .otherwise(null_src)
-            .alias("noise_source"),
-            F.when(in_extent, F.coalesce("noise_sources", empty_sources))
-            .otherwise(null_sources)
-            .alias("noise_sources"),
-        )
+    in_extent = F.lit(True) if extent_flag is None else F.col(extent_flag)
+    return edges_all.join(out, edge_id, "left").select(
+        edge_id,
+        F.when(in_extent, F.coalesce("noises", empty_noises))
+        .otherwise(F.lit(None).cast("map<int,double>"))
+        .alias("noises"),
+        F.when(in_extent, F.coalesce("noise_source", F.lit("")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("noise_source"),
+        F.when(in_extent, F.coalesce("noise_sources", empty_sources))
+        .otherwise(F.lit(None).cast("map<string,int>"))
+        .alias("noise_sources"),
     )

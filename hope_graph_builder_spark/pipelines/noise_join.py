@@ -142,12 +142,16 @@ def run_noise_join(
     final = noise_final_samples(
         edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot
     )
-    # three consumers (dB histogram, source histogram, edge roll) read
-    # this — persist a SLIM all-numeric projection (array columns make
-    # the columnar cache build the dominant cost at scale)
-    slim = _persist(final.select("edge_id", "sample_len", "n_max_adj", "n_max_mask"))
+    # SLIM all-numeric projection into the fused single-pass edge
+    # aggregate: ONE exchange for the entire tail (the old 2-pass +
+    # reassembly-join tail cost 5 exchanges / 6 stages, and the
+    # stage-launch floor was the measured N-vs-4N scaling bottleneck).
+    # No persist: the fused aggregate is the only consumer.
+    slim = final.select("edge_id", "sample_len", "n_max_adj", "n_max_mask")
     if extent_rect is None:
-        return aggregate_noises_by_edge(slim, edges_all=edges.select("edge_id"))
+        # every edge yields ≥1 sample ⇒ the aggregate's group keys
+        # already cover the full edge list — no reassembly join
+        return aggregate_noises_by_edge(slim)
     ex0, ey0, ex1, ey1 = extent_rect
     inside = lambda x, y: (  # noqa: E731
         (F.col(x) >= ex0) & (F.col(x) < ex1) & (F.col(y) >= ey0) & (F.col(y) < ey1)
@@ -155,6 +159,8 @@ def run_noise_join(
     edges_flagged = edges.select(
         "edge_id", (inside("x1", "y1") | inside("x2", "y2")).alias("in_extent")
     )
+    # (edges_flagged is the preserved side of the left join, so it
+    # cannot be broadcast; it re-shuffles on edge_id — extent mode only)
     return aggregate_noises_by_edge(
         slim, edges_all=edges_flagged, extent_flag="in_extent"
     )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hope_graph_builder_spark.operators.spatial_join import with_cover_cells, with_point_cell, CELL
+from hope_graph_builder_spark.spatial import cell_id_expr
 from hope_graph_builder_spark.spatial.kernels import clip_polygon_convex, shoelace_area
 from hope_graph_builder_spark.spatial.wkb import polygon_from_wkb
 
@@ -63,12 +64,22 @@ def overlay_share_rect(
     cand = bc.join(vc, CELL, "inner")
     ix = F.greatest(F.lit(0.0), F.least("bmaxx", "maxx") - F.greatest("bminx", "minx"))
     iy = F.greatest(F.lit(0.0), F.least("bmaxy", "maxy") - F.greatest("bminy", "miny"))
+    # A (buffer, veg-rect) pair can meet in several cover cells; the
+    # pair is COUNTED only in the one canonical cell that contains the
+    # intersection's min corner (that corner is inside both bboxes, so
+    # its cell is always among the joined cells — exactly once). This
+    # is a codegen filter, replacing the full .distinct() shuffle of
+    # the candidate set.
+    canon = cell_id_expr(
+        F.greatest(F.col("bminx"), F.col("minx")),
+        F.greatest(F.col("bminy"), F.col("miny")),
+        res,
+    )
     inter = (
-        cand.withColumn("area_q", F.floor(ix * iy * F.lit(AREA_Q)).cast("long"))
+        cand.filter(F.col(CELL) == canon)
+        .withColumn("area_q", F.floor(ix * iy * F.lit(AREA_Q)).cast("long"))
         .filter(F.col("area_q") > 0)
-        # a (buffer, veg-rect) pair can meet in several cover cells → dedup
         .select("edge_id", "veg_class", "poly_id", "area_q", "buf_area")
-        .distinct()
     )
     return inter.groupBy("edge_id", "veg_class").agg(
         ((F.sum("area_q").cast("double") / F.lit(AREA_Q)) / F.min("buf_area")).alias("share")
@@ -88,11 +99,20 @@ def overlay_share_convex(
         "bminx", "bminy", "bmaxx", "bmaxy", res,
     )
     vc = with_cover_cells(polys, "minx", "miny", "maxx", "maxy", res)
+    # same canonical-cell ownership trick as overlay_share_rect: the
+    # bbox-intersection min corner picks ONE joined cell per pair — a
+    # codegen filter instead of a .distinct() shuffle, and the exact
+    # clip kernel then runs once per pair
+    canon = cell_id_expr(
+        F.greatest(F.col("bminx"), F.col("minx")),
+        F.greatest(F.col("bminy"), F.col("miny")),
+        res,
+    )
     cand = (
         bc.join(vc, CELL, "inner")
+        .filter(F.col(CELL) == canon)
         .select("edge_id", "veg_class", "poly_id", geom,
                 "bminx", "bminy", "bmaxx", "bmaxy", "buf_area")
-        .distinct()
     )
 
     def clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -80,6 +80,23 @@ def test_ring_boundary_vs_containment(spark):
     assert got[1] is True
 
 
+def test_wkb_polyline_roundtrip_feeds_sampler(spark):
+    """WKB LineString → arrays → sample_polyline: the ingest shim is
+    lossless and the sampler consumes its output unchanged."""
+    from hope_graph_builder_spark import synth
+    from hope_graph_builder_spark.operators.geometry import (
+        polylines_from_wkb,
+        polylines_to_wkb,
+    )
+    from hope_graph_builder_spark.operators.sampling import sample_polyline
+
+    pl = synth.page_polylines(spark, SF_TINY).limit(50).cache()
+    rt = polylines_from_wkb(polylines_to_wkb(pl))
+    direct = sample_polyline(pl).toPandas().sort_values(["edge_id", "x"]).reset_index(drop=True)
+    viawkb = sample_polyline(rt).toPandas().sort_values(["edge_id", "x"]).reset_index(drop=True)
+    assert direct.equals(viawkb)
+
+
 def test_multipart_explode_invariants(spark):
     pts = spark.createDataFrame(
         [(i, 100.0 * i, 50.0 * i) for i in range(12)], "doc_id long, x double, y double"
