@@ -444,6 +444,7 @@ def q_noise_nulls_extent(spark, sf_dir):
     SELECT edge_id FROM e
     WHERE (allows_walking OR allows_biking) AND NOT is_no_thru_traffic
     """,
+    late=True,  # P2 also runs inside gi_full_import — yields its window slot
 )
 def q_gi_p2(spark, sf_dir):
     """P2 boolean predicate filter (otp_graph_import.py:66-74)."""
@@ -557,6 +558,88 @@ def q_sample_polyline(spark, sf_dir):
 
     pl = synth.page_polylines(spark, sf_dir)
     return sample_polyline(pl, index_col="i").select("edge_id", "i", "x", "y")
+
+
+# --------------------------------------------------- graph export (§3.3) --
+
+_EXPORT_AOI = (20000.0, 20000.0, 90000.0, 90000.0)
+
+
+@register(
+    "export_clip",
+    f"""
+    WITH e0 AS (
+      SELECT g.*,
+             CAST(1 AS DOUBLE) + (((edge_id * {synth.A3} + {synth.C3}) % {synth.MOD}) % 100)
+               / CAST(100 AS DOUBLE) AS bike_safety_factor,
+             CAST(round_even(x1 * CAST(10 AS DOUBLE), 0) AS BIGINT) * 10000000
+             + CAST(round_even(y1 * CAST(10 AS DOUBLE), 0) AS BIGINT) AS src,
+             CAST(round_even(x2 * CAST(10 AS DOUBLE), 0) AS BIGINT) * 10000000
+             + CAST(round_even(y2 * CAST(10 AS DOUBLE), 0) AS BIGINT) AS dst
+      FROM ({synth.sql_edges()}) g
+    ),
+    kept AS (
+      SELECT * FROM e0
+      WHERE floor(src / 10000000) / 10.0 >= {_EXPORT_AOI[0]}
+        AND floor(src / 10000000) / 10.0 < {_EXPORT_AOI[2]}
+        AND (src % 10000000) / 10.0 >= {_EXPORT_AOI[1]}
+        AND (src % 10000000) / 10.0 < {_EXPORT_AOI[3]}
+        AND floor(dst / 10000000) / 10.0 >= {_EXPORT_AOI[0]}
+        AND floor(dst / 10000000) / 10.0 < {_EXPORT_AOI[2]}
+        AND (dst % 10000000) / 10.0 >= {_EXPORT_AOI[1]}
+        AND (dst % 10000000) / 10.0 < {_EXPORT_AOI[3]}
+        AND edge_id % 11 != 0
+    )
+    SELECT edge_id, round_even(length * bike_safety_factor, 3) AS biking_len
+    FROM kept
+    """,
+)
+def q_export_clip(spark, sf_dir):
+    """§3.3 export composition (graph_export.py:74-87): J5 extent clip
+    (both endpoint NODES inside the AOI) + P7/U3 excluded-edge
+    anti-join + F15 biking length. F19 simplify is pytest-covered (the
+    recursion has no SQL twin)."""
+    from hope_graph_builder_spark.pipelines.graph_export import run_graph_export
+
+    e_attr = edges_with_attrs(spark, sf_dir)
+    nodes, e2 = build_graph(e_attr)
+    nodes_xy = nodes.select(
+        "id",
+        (F.floor(F.col("id") / 10_000_000) / 10.0).alias("x"),
+        (F.pmod(F.col("id"), 10_000_000) / 10.0).alias("y"),
+    )
+    excluded = e2.filter(F.col("edge_id") % 11 == 0).select("edge_id")
+    kept, _nodes = run_graph_export(e2, nodes_xy, _EXPORT_AOI, excluded_edges=excluded)
+    return kept.select("edge_id", "biking_len")
+
+
+@register(
+    "p5_type_filter",
+    """
+    SELECT doc_id AS edge_id, CAST(9 + 16 * (3 + doc_id % 3) AS BIGINT) AS wkb_len
+    FROM documents
+    """,
+)
+def q_p5_type_filter(spark, sf_dir):
+    """P5 geometry-type filter, natively: mixed WKB column (LineStrings
+    + MultiPolygons) → keep LineStrings via the one-byte type-code
+    expression; the oracle pins the surviving ids AND the exact WKB
+    byte length (9-byte header + 16 per vertex, nv = 3 + id%3)."""
+    from hope_graph_builder_spark.operators.geometry import (
+        polylines_to_wkb,
+        synth_multipolygons,
+    )
+    from hope_graph_builder_spark.pipelines.graph_export import filter_geometry_type
+    from hope_graph_builder_spark.spatial.wkb import WKB_LINESTRING
+
+    lines = polylines_to_wkb(synth.page_polylines(spark, sf_dir))
+    multis = synth_multipolygons(
+        synth.page_points(spark, sf_dir).select("doc_id", "x", "y")
+    ).select(F.col("doc_id").alias("edge_id"), "geom")
+    mixed = lines.unionByName(multis)
+    return filter_geometry_type(mixed, "geom", WKB_LINESTRING).select(
+        "edge_id", F.octet_length("geom").cast("long").alias("wkb_len")
+    )
 
 
 # -------------------------------------------------------------- WKT (F1) --

@@ -192,6 +192,7 @@ def q_a14(spark, sf_dir):
       ON o.o_custkey = c.c_custkey
     GROUP BY o.o_orderstatus
     """,
+    late=True,  # J6 also proven by the flagship fan-out join — yields its window slot
 )
 def q_j6(spark, sf_dir):
     """J6 equi left join with count invariants (noise_graph_join.py:122-125)."""

@@ -74,6 +74,36 @@ def polyline_interpolate(coords: np.ndarray, fracs: np.ndarray) -> np.ndarray:
     return coords[idx] + d[idx] * local[:, None]
 
 
+def simplify_rdp(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (F19 — reference
+    `graph_export/utils.py:105-106`, Shapely ``simplify(tol)`` with
+    preserve_topology default). Iterative stack, vectorized
+    point-to-chord distance per span; endpoints always kept."""
+    n = len(coords)
+    if n <= 2:
+        return coords
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    tol2 = tol * tol
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = coords[a + 1 : b]
+        d2 = point_segment_dist2(
+            seg[:, 0], seg[:, 1],
+            coords[a, 0], coords[a, 1], coords[b, 0], coords[b, 1],
+        )
+        i = int(np.argmax(d2))
+        if d2[i] > tol2:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return coords[keep]
+
+
 def ring_points(cx: float, cy: float, radius: float, k: int) -> np.ndarray:
     """k points on the circle boundary around (cx, cy) — the offset-ring
     sampling of the kNN interpolation branch

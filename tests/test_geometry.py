@@ -97,6 +97,53 @@ def test_wkb_polyline_roundtrip_feeds_sampler(spark):
     assert direct.equals(viawkb)
 
 
+def test_simplify_rdp_kernel():
+    from hope_graph_builder_spark.spatial.kernels import (
+        point_segment_dist2,
+        simplify_rdp,
+    )
+
+    # collinear interior points vanish; endpoints stay
+    line = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]])
+    out = simplify_rdp(line, 0.01)
+    assert np.array_equal(out, line[[0, -1]])
+    # a spike above tolerance survives
+    spike = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 5.0], [3.0, 0.0], [4.0, 0.0]])
+    out = simplify_rdp(spike, 0.5)
+    assert any(np.array_equal(p, [2.0, 5.0]) for p in out)
+    # deviation bound: every dropped vertex is within tol of the kept chain
+    rng = np.random.RandomState(7)
+    wiggly = np.cumsum(rng.randn(40, 2), axis=0)
+    tol = 0.8
+    kept = simplify_rdp(wiggly, tol)
+    # check each original point against its enclosing kept segment
+    for p in wiggly:
+        d2 = point_segment_dist2(
+            np.full(len(kept) - 1, p[0]), np.full(len(kept) - 1, p[1]),
+            kept[:-1, 0], kept[:-1, 1], kept[1:, 0], kept[1:, 1],
+        )
+        assert d2.min() <= tol * tol + 1e-9
+
+
+def test_simplify_polylines_pipeline(spark):
+    """F19 over the fixture polylines: vertex counts never grow,
+    endpoints are preserved."""
+    from hope_graph_builder_spark import synth
+    from hope_graph_builder_spark.pipelines.graph_export import simplify_polylines
+
+    pl = synth.page_polylines(spark, SF_TINY).limit(100).cache()
+    simp = simplify_polylines(pl, tol=5.0)
+    j = pl.select("edge_id", F.col("xs").alias("oxs"), F.col("ys").alias("oys")).join(
+        simp, "edge_id"
+    )
+    rows = j.collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert len(r.xs) <= len(r.oxs)
+        assert r.xs[0] == r.oxs[0] and r.xs[-1] == r.oxs[-1]
+        assert r.ys[0] == r.oys[0] and r.ys[-1] == r.oys[-1]
+
+
 def test_multipart_explode_invariants(spark):
     pts = spark.createDataFrame(
         [(i, 100.0 * i, 50.0 * i) for i in range(12)], "doc_id long, x double, y double"
