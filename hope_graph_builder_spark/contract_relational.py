@@ -54,6 +54,7 @@ def q_a1(spark, sf_dir):
     SELECT l_orderkey, max(l_quantity) AS max_qty, max(l_extendedprice) AS max_price
     FROM lineitem GROUP BY l_orderkey
     """,
+    late=True,  # A2 also proven inside the flagship pivot max — yields its window slot
 )
 def q_a2(spark, sf_dir):
     """A2 dedup-keep-max (reference utils.py:112-141)."""

@@ -300,11 +300,12 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
-def _sql_lsh_bucket(vec: str) -> str:
+def _sql_lsh_bucket(vec: str, plane_offset: int = 0) -> str:
     terms = []
     for j in range(similarity.LSH_BITS):
         w = "[" + ", ".join(
-            repr(similarity.lsh_plane_weight(j, k)) for k in range(similarity.DIM)
+            repr(similarity.lsh_plane_weight(plane_offset + j, k))
+            for k in range(similarity.DIM)
         ) + "]"
         dotv = _SQL_VDOT.format(a=vec, b=w)
         terms.append(f"(CASE WHEN {dotv} >= 0.0 THEN (1::BIGINT << {j}) ELSE 0 END)")
@@ -343,6 +344,49 @@ def q_lsh_buckets(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     out = similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.select(
+        "query_id", "cand_id", F.bround("cos", 9).alias("cos"), F.col("rank").alias("rnk")
+    )
+
+
+@register(
+    "e_ann_multitable",
+    f"""
+    WITH cb AS (
+      SELECT vec_id, 0 AS tbl, {_sql_lsh_bucket('embedding', 0)} AS bucket FROM embeddings
+      UNION ALL
+      SELECT vec_id, 1 AS tbl, {_sql_lsh_bucket('embedding', similarity.PLANE_STRIDE)} AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT * FROM cb WHERE vec_id < 8),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket AND q.vec_id != c.vec_id
+    ),
+    scored AS (
+      SELECT p.query_id, p.cand_id,
+             {_SQL_VDOT.format(a='eq.embedding', b='ec.embedding')}
+             / (sqrt({_SQL_VDOT.format(a='eq.embedding', b='eq.embedding')})
+                * sqrt({_SQL_VDOT.format(a='ec.embedding', b='ec.embedding')})) AS cos
+      FROM pairs p
+      JOIN embeddings ec ON ec.vec_id = p.cand_id
+      JOIN embeddings eq ON eq.vec_id = p.query_id
+    )
+    SELECT query_id, cand_id, round_even(cos, 9) AS cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_ann_multitable(spark, sf_dir):
+    """Multi-table LSH ANN (the 100 TB shape: L tables × more bits —
+    per-bucket candidate sets shrink exponentially, union recall wins
+    back what longer codes lose; single-table 8-bit leaves n/256 per
+    bucket, quadratic within bucket at web scale)."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.ann_multitable_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, tables=2
+    )
     return out.select(
         "query_id", "cand_id", F.bround("cos", 9).alias("cos"), F.col("rank").alias("rnk")
     )

@@ -86,6 +86,83 @@ def sign_lsh_bucket(v: Column, bits: int = LSH_BITS, dim: int = DIM) -> Column:
     return acc
 
 
+PLANE_STRIDE = 1009  # table t uses planes t*STRIDE .. t*STRIDE+bits-1
+
+
+def sign_lsh_table_buckets(
+    v: Column, tables: int, bits: int = LSH_BITS, dim: int = DIM
+) -> Column:
+    """Array of (table, bucket) structs — one sign-LSH bucket per
+    independent hyperplane table (planes disjoint via PLANE_STRIDE)."""
+    out = []
+    for t in range(tables):
+        acc = F.lit(0).cast("long")
+        for j in range(bits):
+            w = F.array(
+                *[F.lit(lsh_plane_weight(t * PLANE_STRIDE + j, k)) for k in range(dim)]
+            )
+            acc = acc + F.when(
+                dot(v, w) >= 0.0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        out.append(F.struct(F.lit(t).alias("tbl"), acc.alias("bucket")))
+    return F.array(*out)
+
+
+def ann_multitable_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    tables: int = 2,
+    bits: int = LSH_BITS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table sign-LSH ANN — the 100 TB shape: a single 8-bit
+    table leaves n/256 vectors per bucket (quadratic within bucket);
+    raising bits shrinks buckets exponentially but loses recall, and L
+    independent tables win the recall back (candidate iff the pair
+    collides in ANY table). At web scale run e.g. bits=16, tables=8 →
+    per-bucket n/65536 with union recall; here tables=2/bits=8 keeps
+    the oracle twin tractable.
+
+    Plan shape: corpus buckets once (narrow explode of L structs, no
+    shuffle), query buckets broadcast, candidate pairs deduped across
+    tables on (query, cand) ids BEFORE the vectors are re-attached, so
+    each survivor is scored exactly once."""
+    cb = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.explode(
+            sign_lsh_table_buckets(_as_double(F.col(vec_col)), tables, bits, dim)
+        ).alias("tb"),
+    ).select("cand_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            sign_lsh_table_buckets(_as_double(F.col(vec_col)), tables, bits, dim)
+        ).alias("tb"),
+    ).select("query_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    pairs = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"], "inner")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        pairs.join(c, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
