@@ -27,11 +27,18 @@ from pyspark.storagelevel import StorageLevel
 
 
 def _persist(df: DataFrame) -> DataFrame:
-    """Reused-subtree persistence; HGBS_NO_PERSIST=1 disables (the
-    engine still computes correctly — branches just recompute)."""
-    if os.environ.get("HGBS_NO_PERSIST"):
-        return df
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    """Reused-subtree persistence — OPT-IN via HGBS_PERSIST=1.
+
+    Measured (MULT=400, 4×2-core executors): caching the wide pivoted
+    point table costs MORE than recomputing its prefix for the second
+    (tiny, column-pruned) consumer — 58.4 s with persist vs 47.9 s
+    without for the full flagship. A one-reuse cache of a 10-column
+    table rarely pays for its build; the prefix is a broadcast join +
+    one distinct. Set HGBS_PERSIST=1 when the reused subtree is
+    genuinely expensive (e.g. a shuffle-path PIP join at scale)."""
+    if os.environ.get("HGBS_PERSIST"):
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
 
 from hope_graph_builder_spark.operators.noise import (
     LAYER_NAMES,

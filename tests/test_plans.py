@@ -58,6 +58,22 @@ def test_parquet_filter_pushdown(spark):
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
 
 
+def test_flagship_tail_is_single_pass(spark):
+    """The per-edge rollup is ONE grouped aggregate: exactly one
+    edge_id exchange in the whole plan, no (edge_id, x) aggregate
+    shuffles and no reassembly join — the r01 tail cost 5 exchanges /
+    6 stages and was the measured scaling floor."""
+    import re
+
+    edges = synth.page_edges(spark, SF_TINY)
+    layers = synth.noise_layers(spark)
+    plan = _plan(run_noise_join(edges, layers, synth.NODATA_RECT, res=7))
+    edge_exchanges = re.findall(r"Exchange hashpartitioning\(edge_id[^)]*\)", plan)
+    assert len(edge_exchanges) == 1, edge_exchanges
+    # no secondary-key shuffles (edge_id, n_max_adj) / (edge_id, src)
+    assert not re.search(r"hashpartitioning\(edge_id#\d+L?, [a-z_]+#", plan), plan[:400]
+
+
 def test_flagship_no_cartesian_and_codegen(spark):
     import contextlib
     import io
