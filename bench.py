@@ -129,9 +129,14 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
             res=9,
         ),
     )
+    # measured on this workload: dedup wins (57-61 s vs 64-68 s at 4N,
+    # MULT=400) — the 2.4× sample-location dedup factor saves more PIP
+    # refine work than the fan-out join costs; SPARK_GRAFT_DEDUP_XY=0
+    # flips to PIP-every-sample (wins when locations are mostly unique)
+    dedup_xy = os.environ.get("SPARK_GRAFT_DEDUP_XY", "1") not in ("0", "false")
     bench(
         "flagship_noise_join",
-        run_noise_join(edges, layers, synth.NODATA_RECT, res=7),
+        run_noise_join(edges, layers, synth.NODATA_RECT, res=7, dedup_xy=dedup_xy),
         full=True,
     )
     return timings, rows

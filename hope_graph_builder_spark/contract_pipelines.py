@@ -462,6 +462,7 @@ def q_gi_p2(spark, sf_dir):
            + CAST(round_even(y2 * CAST(10 AS DOUBLE), 0) AS BIGINT) AS dst
     FROM edges
     """,
+    late=True,  # J10/G1 remap also runs inside gi_full_import — yields its window slot
 )
 def q_gi_remap(spark, sf_dir):
     """J10/G1: endpoint quantization → node ids."""
@@ -558,6 +559,39 @@ def q_sample_polyline(spark, sf_dir):
 
     pl = synth.page_polylines(spark, sf_dir)
     return sample_polyline(pl, index_col="i").select("edge_id", "i", "x", "y")
+
+
+# ------------------------------------------------ general-polygon PIP --
+
+@register(
+    "pip_wkb_triangles",
+    f"""
+    WITH pts AS ({synth.sql_points()}),
+    tri AS ({synth.sql_triangles_duckdb()}),
+    v AS (
+      SELECT poly_id, ax AS x1, ay AS y1, ax + w AS x2, ay AS y2,
+             ax + cx AS x3, ay + h AS y3
+      FROM tri
+    )
+    SELECT p.doc_id, v.poly_id
+    FROM pts p JOIN v
+      ON  (v.x2 - v.x1) * (p.y - v.y1) - (v.y2 - v.y1) * (p.x - v.x1) > 0.0
+      AND (v.x3 - v.x2) * (p.y - v.y2) - (v.y3 - v.y2) * (p.x - v.x2) > 0.0
+      AND (v.x1 - v.x3) * (p.y - v.y3) - (v.y1 - v.y3) * (p.x - v.x3) > 0.0
+    """,
+)
+def q_pip_wkb_triangles(spark, sf_dir):
+    """General-polygon PIP (J1's non-rectangular form): cell-cover
+    prefilter + vectorized ray-cast refine over WKB rings in Arrow
+    batches. The oracle is the INDEPENDENT closed form (three
+    half-plane signs on CCW triangles) — two different PIP
+    formulations must produce identical match sets (boundary hits are
+    measure-zero on the jittered fixture)."""
+    from hope_graph_builder_spark.operators.spatial_join import pip_join_wkb
+
+    pts = synth.page_points(spark, sf_dir).select("doc_id", "x", "y")
+    tris = synth.triangles(spark)
+    return pip_join_wkb(pts, tris, res=7).select("doc_id", "poly_id")
 
 
 # --------------------------------------------------- graph export (§3.3) --

@@ -82,11 +82,31 @@ def noise_final_samples(
     ring_count: int = 20,
     salt: int = 1,
     hot: DataFrame | None = None,
+    dedup_xy: bool = True,
 ) -> DataFrame:
     """edges(edge_id, x1, y1, x2, y2, length) ×
     layers(layer, poly_id, minx, miny, maxx, maxy, db) →
     one row per edge sample with per-source dB, n_max, n_max_sources,
-    n_max_adj (reference steps 3-11; input to the per-edge aggregate)."""
+    n_max_adj (reference steps 3-11; input to the per-edge aggregate).
+
+    ``dedup_xy`` picks the physical strategy (results identical,
+    oracle-verified both ways):
+    - True — the reference's CSE: distinct quantized locations → PIP →
+      fan-out join back to samples. Right when the PIP is a SHUFFLE
+      join (layer table too big to broadcast): dedup shrinks the
+      expensive join's input ~2.4×.
+    - False — PIP every sample directly (at its quantized location, so
+      values per location stay identical) via the broadcast join, ONE
+      pivot keyed (edge_id, sample idx). Kills the distinct AND the
+      fan-out join. MEASURED on the street-edge workload (3 m sampling
+      → 2.4× co-located samples): dedup still wins (57-61 s vs
+      64-68 s at 4N/MULT=400) — the saved exchanges don't pay for the
+      2.4× extra refine work. Pick False only when sample locations
+      are mostly unique (dedup factor ≈ 1)."""
+    if not dedup_xy:
+        return _final_samples_nodedup(
+            edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot
+        )
     samples = with_xy_id(sample_edges(edges))
     uniq = unique_points(samples)
 
@@ -128,6 +148,98 @@ def noise_final_samples(
     return samples.join(all_samples, "xy_id", "left")
 
 
+def _final_samples_nodedup(
+    edges: DataFrame,
+    layers: DataFrame,
+    nodata_rect: tuple[float, float, float, float],
+    res: int,
+    ring_radius: float,
+    ring_count: int,
+    salt: int,
+    hot: DataFrame | None,
+) -> DataFrame:
+    """PIP-every-sample strategy (see noise_final_samples docstring).
+    Each sample is evaluated at its QUANTIZED location (xy_id bin
+    center) — exactly the coordinates the dedup path evaluates — so
+    per-location values, and therefore per-edge aggregates, are
+    identical. Salting is ignored: the layer side is broadcast here
+    (no shuffle to skew); use dedup_xy=True for the salted shuffle
+    path."""
+    from hope_graph_builder_spark.operators.spatial_join import (
+        CELL,
+        with_cover_cells,
+        with_point_cell,
+    )
+
+    samples = with_xy_id(sample_edges(edges, index_col="_si"))
+    s = samples.select(
+        "edge_id", "_si", "sample_len", "xy_id",
+        (F.floor(F.col("xy_id") / 10_000_000) / 10.0).alias("x"),
+        (F.pmod(F.col("xy_id"), 10_000_000) / 10.0).alias("y"),
+    )
+    nx0, ny0, nx1, ny1 = nodata_rect
+    s = s.withColumn(
+        "nodata_zone",
+        (F.col("x") >= nx0) & (F.col("x") < nx1) & (F.col("y") >= ny0) & (F.col("y") < ny1),
+    )
+    # LEFT cell-cover broadcast join keeps unmatched samples in-line
+    # (no separate match/join-back pass); refine becomes the match value
+    p = with_point_cell(s, "x", "y", res)
+    g = F.broadcast(with_cover_cells(layers, "minx", "miny", "maxx", "maxy", res))
+    cand = p.join(g, CELL, "left")
+    hit = (
+        (F.col("x") >= F.col("minx")) & (F.col("x") < F.col("maxx"))
+        & (F.col("y") >= F.col("miny")) & (F.col("y") < F.col("maxy"))
+    )
+    rows = cand.select(
+        "edge_id", "_si", "sample_len", "xy_id", "x", "y", "nodata_zone",
+        F.when(hit, F.col("layer")).alias("layer"),
+        F.when(hit, F.col("db")).alias("db"),
+    )
+    pts = rows.groupBy("edge_id", "_si").agg(
+        F.first("sample_len").alias("sample_len"),
+        F.first("xy_id").alias("xy_id"),
+        F.first("x").alias("x"),
+        F.first("y").alias("y"),
+        F.first("nodata_zone").alias("nodata_zone"),
+        *[F.max(F.when(F.col("layer") == c, F.col("db"))).alias(c) for c in LAYER_NAMES],
+    )
+
+    no_noise = None
+    for c in LAYER_NAMES:
+        cond = F.col(c).isNull()
+        no_noise = cond if no_noise is None else (no_noise & cond)
+    pts = pts.withColumn("missing_noises", F.col("nodata_zone") & no_noise)
+    pts = _persist(pts)
+
+    carry = ["edge_id", "_si", "sample_len", "xy_id"]
+    normal = aggregate_noise_values(pts.filter(~F.col("missing_noises"))).select(
+        *carry, *SAMPLE_COLS[1:]
+    )
+
+    miss = pts.filter(F.col("missing_noises")).select(*carry, "x", "y")
+    rings = ring_points(
+        miss, radius=ring_radius, count=ring_count,
+        keep=["edge_id", "_si"], index_col="ring_i",
+    )
+    ring_matches = pip_join_rect(
+        rings, layers, res=res, how="inner", point_id="ring_i"
+    ).select("edge_id", "_si", "ring_i", "layer", "db")
+    ring_pivot = rings.select("edge_id", "_si", "ring_i").join(
+        pivot_layer_max(ring_matches, ["edge_id", "_si", "ring_i"]),
+        ["edge_id", "_si", "ring_i"],
+        "left",
+    )
+    interp_vals = interpolate_missing(
+        ring_pivot, ring_count=ring_count, key=["edge_id", "_si"]
+    )
+    interp = aggregate_noise_values(
+        miss.join(interp_vals, ["edge_id", "_si"], "left"), prefer_syke=True
+    ).select(*carry, *SAMPLE_COLS[1:])
+
+    return normal.unionByName(interp).drop("_si")
+
+
 def run_noise_join(
     edges: DataFrame,
     layers: DataFrame,
@@ -138,6 +250,7 @@ def run_noise_join(
     salt: int = 1,
     hot: DataFrame | None = None,
     extent_rect: tuple[float, float, float, float] | None = None,
+    dedup_xy: bool = True,
 ) -> DataFrame:
     """Full flagship: → edge_noises(edge_id, noises map, noise_source,
     noise_sources map).
@@ -147,7 +260,8 @@ def run_noise_join(
     noise-data extent get noises=NULL / noise_source=NULL (nodata)
     instead of the inside-but-unmatched {} / '' defaults."""
     final = noise_final_samples(
-        edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot
+        edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot,
+        dedup_xy=dedup_xy,
     )
     # SLIM all-numeric projection into the fused single-pass edge
     # aggregate: ONE exchange for the entire tail (the old 2-pass +

@@ -315,6 +315,62 @@ def sql_veg_duckdb() -> str:
     """
 
 
+N_TRIANGLES = 200
+
+
+def _triangle_params(k: np.ndarray):
+    """Shared triangle-generator arithmetic (numpy twin of the SQL
+    fragments in sql_triangles_duckdb — integer-scaled doubles, exact
+    in both engines)."""
+    ax = (k % 20) * 5000.0 + 300.0 + (k * 7 % 100) * 3.0
+    ay = (k // 20) * 5000.0 + 400.0 + (k * 11 % 100) * 3.0
+    w = 1000.0 + (k * 13 % 8) * 500.0
+    h = 1000.0 + (k * 17 % 8) * 500.0
+    cx = 200.0 + (k * 5 % 10) * 400.0
+    return ax, ay, w, h, cx
+
+
+def triangles(spark: SparkSession) -> DataFrame:
+    """General (non-rectangular) polygon fixture: N CCW triangles with
+    WKB geometry + bbox columns — the input shape pip_join_wkb's
+    ray-cast refine expects."""
+    from hope_graph_builder_spark.spatial.wkb import polygon_to_wkb
+
+    k = np.arange(N_TRIANGLES, dtype=np.int64)
+    ax, ay, w, h, cx = _triangle_params(k)
+    rows = []
+    for i in range(N_TRIANGLES):
+        ring = np.array(
+            [[ax[i], ay[i]], [ax[i] + w[i], ay[i]], [ax[i] + cx[i], ay[i] + h[i]]]
+        )
+        rows.append(
+            (
+                int(i),
+                bytearray(polygon_to_wkb(ring)),
+                float(ax[i]),
+                float(ay[i]),
+                float(ax[i] + max(w[i], cx[i])),
+                float(ay[i] + h[i]),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "poly_id long, geom binary, minx double, miny double, maxx double, maxy double"
+    )
+
+
+def sql_triangles_duckdb() -> str:
+    """DuckDB twin of the triangle parameters (vertex coordinates)."""
+    return f"""
+    SELECT k AS poly_id,
+           (k % 20) * 5000.0 + 300.0 + (k * 7 % 100) * 3.0 AS ax,
+           (k // 20) * 5000.0 + 400.0 + (k * 11 % 100) * 3.0 AS ay,
+           1000.0 + (k * 13 % 8) * 500.0 AS w,
+           1000.0 + (k * 17 % 8) * 500.0 AS h,
+           200.0 + (k * 5 % 10) * 400.0 AS cx
+    FROM (SELECT unnest(range(0, {N_TRIANGLES})) AS k)
+    """
+
+
 def sql_points(id_col: str = "doc_id", table: str = "documents") -> str:
     fr = xy_fragments(id_col)
     return (
