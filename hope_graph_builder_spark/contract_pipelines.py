@@ -69,6 +69,7 @@ FROM (SELECT edge_id, count(*) AS n, sum(CAST(GVI AS DECIMAL(9,3))) AS s,
 @register(
     "gvi_mean_per_edge",
     _SQL_GVI_MEAN.format(gvi_pts=synth.sql_gvi_points(), edges=synth.sql_edges()),
+    late=True,  # fully contained in gvi_attributes' oracle (mg CTE) — yields its window slot
 )
 def q_gvi_mean(spark, sf_dir):
     """J4+A10+A11: DWithin(30 m) GVI samples → gated mean per edge."""
@@ -173,6 +174,46 @@ def q_gvi_attributes(spark, sf_dir):
 def q_overlay(spark, sf_dir):
     """J7+A9+J8: buffer × vegetation overlay, dissolved share per edge."""
     return overlay_share_rect(_edges(spark, sf_dir), synth.veg_rects(spark))
+
+
+@register(
+    "f10_dissolve_union",
+    f"""
+    WITH veg AS ({synth.sql_veg_overlapping_duckdb()}),
+    t AS (
+      SELECT *, CAST(floor(minx / 10000) AS BIGINT) * 1000
+                + CAST(floor(miny / 10000) AS BIGINT) AS tile
+      FROM veg
+    ),
+    cells AS (
+      SELECT DISTINCT tile, veg_class,
+             CAST(minx / 200 AS BIGINT) + cx.range AS cellx,
+             CAST(miny / 200 AS BIGINT) + cy.range AS celly
+      FROM t, range(0, 8) cx, range(0, 8) cy
+    )
+    SELECT tile, veg_class,
+           CAST(count(*) AS DOUBLE) * CAST(40000 AS DOUBLE) AS union_area
+    FROM cells GROUP BY tile, veg_class
+    """,
+)
+def q_f10_dissolve(spark, sf_dir):
+    """F10 general dissolve (unary_union): exact union AREA of
+    overlapping same-class polygons per map tile — the case the
+    disjoint-sum overlay cannot handle. Engine: coordinate-compression
+    kernel per group (applyInPandas); oracle: exact 200 m cell
+    counting on the integer-aligned fixture (every rect side is a
+    multiple of 200, so cell count × 40000 IS the union area)."""
+    from hope_graph_builder_spark.pipelines.overlay import dissolve_union_area
+
+    veg = synth.veg_rects_overlapping(spark)
+    t = veg.select(
+        (
+            F.floor(F.col("minx") / 10000).cast("long") * 1000
+            + F.floor(F.col("miny") / 10000).cast("long")
+        ).alias("tile"),
+        "veg_class", "minx", "miny", "maxx", "maxy",
+    )
+    return dissolve_union_area(t)
 
 
 # ---------------------------------------------------------------- export --

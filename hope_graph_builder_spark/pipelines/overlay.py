@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from hope_graph_builder_spark.operators.spatial_join import with_cover_cells, with_point_cell, CELL
 from hope_graph_builder_spark.spatial import cell_id_expr
-from hope_graph_builder_spark.spatial.kernels import clip_polygon_convex, shoelace_area
+from hope_graph_builder_spark.spatial.kernels import (
+    clip_polygon_convex,
+    rect_union_area,
+    shoelace_area,
+)
 from hope_graph_builder_spark.spatial.wkb import polygon_from_wkb
 
 AREA_Q = 1_000_000.0  # micro-m² quantization for order-free sums
@@ -84,6 +88,30 @@ def overlay_share_rect(
     return inter.groupBy("edge_id", "veg_class").agg(
         ((F.sum("area_q").cast("double") / F.lit(AREA_Q)) / F.min("buf_area")).alias("share")
     )
+
+
+def dissolve_union_area(
+    rects: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """F10 general dissolve (reference unary_union,
+    land_cover_overlay_analysis.py:58-233): exact union AREA of
+    OVERLAPPING axis-aligned polygons per group — the overlap case
+    overlay_share_rect's plain sum cannot handle. applyInPandas per
+    group over the coordinate-compression kernel; groups arrive from
+    one hash shuffle on the (small) group key, each group's rect list
+    is tiny after the cover join, so this is a map-sized stage at any
+    corpus scale."""
+    group_cols = group_cols or ["tile", "veg_class"]
+    by_name = {f.name: f.dataType.simpleString() for f in rects.schema.fields}
+    schema = ", ".join(f"{c} {by_name[c]}" for c in group_cols) + ", union_area double"
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        area = rect_union_area(
+            pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
+        )
+        return pd.DataFrame([[*key, area]], columns=[*group_cols, "union_area"])
+
+    return rects.groupBy(*group_cols).applyInPandas(fn, schema=schema)
 
 
 def overlay_share_convex(

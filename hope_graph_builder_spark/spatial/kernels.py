@@ -74,6 +74,32 @@ def polyline_interpolate(coords: np.ndarray, fracs: np.ndarray) -> np.ndarray:
     return coords[idx] + d[idx] * local[:, None]
 
 
+def rect_union_area(rects: np.ndarray) -> float:
+    """Exact area of the union of axis-aligned rectangles — F10
+    dissolve (reference unary_union over overlapping land-cover
+    polygons, `land_cover_overlay_analysis.py:58-233`) for the
+    rectangular case. Coordinate compression: O(n²) grid cells for n
+    rects, n is small per dissolve group after the cell-cover join.
+
+    rects: (n, 4) [minx, miny, maxx, maxy]."""
+    if len(rects) == 0:
+        return 0.0
+    xs = np.unique(np.concatenate([rects[:, 0], rects[:, 2]]))
+    ys = np.unique(np.concatenate([rects[:, 1], rects[:, 3]]))
+    if len(xs) < 2 or len(ys) < 2:
+        return 0.0
+    covered = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
+    ix0 = np.searchsorted(xs, rects[:, 0])
+    ix1 = np.searchsorted(xs, rects[:, 2])
+    iy0 = np.searchsorted(ys, rects[:, 1])
+    iy1 = np.searchsorted(ys, rects[:, 3])
+    for a, b, c, d in zip(ix0, ix1, iy0, iy1):
+        covered[a:b, c:d] = True
+    w = np.diff(xs)
+    h = np.diff(ys)
+    return float((covered * np.outer(w, h)).sum())
+
+
 def simplify_rdp(coords: np.ndarray, tol: float) -> np.ndarray:
     """Douglas-Peucker polyline simplification (F19 — reference
     `graph_export/utils.py:105-106`, Shapely ``simplify(tol)`` with

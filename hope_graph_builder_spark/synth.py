@@ -371,6 +371,36 @@ def sql_triangles_duckdb() -> str:
     """
 
 
+def veg_rects_overlapping(spark: SparkSession) -> DataFrame:
+    """Vegetation grid WITH deliberate intra-class overlaps (every
+    (gx+gy)%3==0 rect gets an (+800,+600)-shifted twin) — the F10
+    dissolve fixture. All coordinates are multiples of 200 so the
+    DuckDB oracle can count exact 200 m cells."""
+    base = _veg_grid_np()
+    gxy = (base["minx"] // VEG_CELL).astype(np.int64) + (base["miny"] // VEG_CELL).astype(np.int64)
+    dup = base[gxy % 3 == 0].copy()
+    dup["poly_id"] = dup["poly_id"] + 1_000_000
+    dup["minx"] += 800.0
+    dup["maxx"] += 800.0
+    dup["miny"] += 600.0
+    dup["maxy"] += 600.0
+    return spark.createDataFrame(pd.concat([base, dup], ignore_index=True))
+
+
+def sql_veg_overlapping_duckdb() -> str:
+    """DuckDB twin of veg_rects_overlapping."""
+    return f"""
+    WITH b AS ({sql_veg_duckdb()})
+    SELECT * FROM b
+    UNION ALL
+    SELECT veg_class, poly_id + 1000000 AS poly_id,
+           minx + 800.0 AS minx, miny + 600.0 AS miny,
+           maxx + 800.0 AS maxx, maxy + 600.0 AS maxy
+    FROM b
+    WHERE (CAST(minx // {VEG_CELL} AS BIGINT) + CAST(miny // {VEG_CELL} AS BIGINT)) % 3 = 0
+    """
+
+
 def sql_points(id_col: str = "doc_id", table: str = "documents") -> str:
     fr = xy_fragments(id_col)
     return (

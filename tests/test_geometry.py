@@ -97,6 +97,28 @@ def test_wkb_polyline_roundtrip_feeds_sampler(spark):
     assert direct.equals(viawkb)
 
 
+def test_rect_union_area_kernel():
+    from hope_graph_builder_spark.spatial.kernels import rect_union_area
+
+    # disjoint → plain sum
+    assert rect_union_area(np.array([[0, 0, 2, 2], [5, 5, 7, 8]], float)) == 4 + 6
+    # fully contained → outer only
+    assert rect_union_area(np.array([[0, 0, 10, 10], [2, 2, 4, 4]], float)) == 100
+    # partial overlap → inclusion-exclusion
+    assert rect_union_area(np.array([[0, 0, 4, 4], [2, 2, 6, 6]], float)) == 16 + 16 - 4
+    assert rect_union_area(np.zeros((0, 4))) == 0.0
+    # brute-force cross-check on random integer rects
+    rng = np.random.RandomState(3)
+    for _ in range(10):
+        r = rng.randint(0, 30, size=(6, 2))
+        w = rng.randint(1, 10, size=(6, 2))
+        rects = np.column_stack([r, r + w]).astype(float)
+        grid = np.zeros((50, 50), dtype=bool)
+        for x0, y0, x1, y1 in rects.astype(int):
+            grid[x0:x1, y0:y1] = True
+        assert rect_union_area(rects) == float(grid.sum())
+
+
 def test_simplify_rdp_kernel():
     from hope_graph_builder_spark.spatial.kernels import (
         point_segment_dist2,
