@@ -35,6 +35,7 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ) WHERE rn = 1
     """,
+    late=True,  # keep-first == d_exact_dedup min-keeper semantics — yields its window slot
 )
 def q_a1(spark, sf_dir):
     """A1 first-wins dedup (reference noise_graph_join.py:33) with a

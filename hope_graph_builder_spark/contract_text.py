@@ -199,11 +199,20 @@ def q_ngram_jaccard(spark, sf_dir):
 
 @register(
     "t_token_count",
-    f"SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents",
+    f"""
+    SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS BIGINT) AS n_bpe
+    FROM documents
+    """,
 )
 def q_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish pre-tokenizer counts (task brief). The BPE
+    pattern is ASCII-class-only so Java regex (Spark) and RE2 (DuckDB)
+    agree."""
     return _docs(spark, sf_dir).select(
-        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_token_count(F.col("text")).alias("n_bpe"),
     )
 
 
@@ -258,11 +267,23 @@ def q_quality(spark, sf_dir):
 
 @register(
     "t_fingerprint",
-    f"SELECT doc_id, md5(array_to_string({_SQL_TOKENS}, ' ')) AS fp FROM documents",
+    f"""
+    SELECT doc_id, md5(array_to_string({_SQL_TOKENS}, ' ')) AS fp,
+           list_reduce(
+             list_concat([0::BIGINT],
+               list_transform({_SQL_TOKENS},
+                 t -> CAST(('0x' || substr(md5(t),1,15)) AS BIGINT) % {text.ROLL_P})),
+             (h, g) -> (h * {text.ROLL_B} + g) % {text.ROLL_P}) AS fp_roll
+    FROM documents
+    """,
 )
 def q_fingerprint(spark, sf_dir):
+    """md5 fingerprint + order-sensitive polynomial rolling hash (task
+    brief: 'document fingerprinting (rolling hash)')."""
     return _docs(spark, sf_dir).select(
-        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.rolling_fingerprint(F.col("text")).alias("fp_roll"),
     )
 
 
@@ -458,6 +479,30 @@ def q_m_features(spark, sf_dir):
     )
     return feats.select(
         "url", "n_bytes", "magic", F.concat_ws(",", cnt).alias("features_str")
+    )
+
+
+@register(
+    "m_frame_sample",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             'https://example.org/' || lang || '/' || doc_id AS url,
+             text, unnest(range(0, (length(text) + {multimodal.FRAME_SIZE - 1}) // {multimodal.FRAME_SIZE})) AS fi
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT url, CAST(fi AS INT) AS frame_i,
+           CAST(length(substr(text, CAST(fi AS INT) * {multimodal.FRAME_SIZE} + 1, {multimodal.FRAME_SIZE})) AS BIGINT) AS frame_bytes,
+           md5(substr(text, CAST(fi AS INT) * {multimodal.FRAME_SIZE} + 1, {multimodal.FRAME_SIZE})) AS digest
+    FROM f WHERE fi % {multimodal.FRAME_EVERY} = 0
+    """,
+)
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: every k-th fixed-size frame of
+    the binary payload → one row with an md5 content digest (ASCII
+    corpus ⇒ the DuckDB text-substring md5 is byte-identical)."""
+    return multimodal.sample_frames(
+        synth.pages(spark, sf_dir).filter(F.octet_length("html") > 0)
     )
 
 

@@ -34,6 +34,49 @@ def _fake_decode(buf: bytes) -> np.ndarray:
     return hist / len(arr)
 
 
+FRAME_SIZE = 256
+FRAME_EVERY = 7
+
+
+def sample_frames(pages: DataFrame, binary_col: str = "html",
+                  url_col: str = "url", frame_size: int = FRAME_SIZE,
+                  every_k: int = FRAME_EVERY) -> DataFrame:
+    """Video frame-sampling plumbing (task brief): the binary payload
+    is treated as a fake fixed-size-frame video (a real decoder swaps
+    in at `_fake_decode`'s seam); every k-th frame is sampled and
+    emitted as its own row with a content digest. The explode happens
+    INSIDE the Arrow batch (mapInPandas) — no shuffle, partitioning
+    inherited, output rows ≈ payload_bytes / (frame_size·k)."""
+    import hashlib
+
+    bcol, ucol = binary_col, url_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, fis, nb, digs = [], [], [], []
+            for url, buf in zip(pdf[ucol], pdf[bcol]):
+                b = bytes(buf) if buf is not None else b""
+                nframes = (len(b) + frame_size - 1) // frame_size
+                for fi in range(0, nframes, every_k):
+                    chunk = b[fi * frame_size : (fi + 1) * frame_size]
+                    urls.append(url)
+                    fis.append(fi)
+                    nb.append(len(chunk))
+                    digs.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "frame_i": pd.Series(fis, dtype="int32"),
+                    "frame_bytes": pd.Series(nb, dtype="int64"),
+                    "digest": digs,
+                }
+            )
+
+    return pages.select(ucol, bcol).mapInPandas(
+        op, schema="url string, frame_i int, frame_bytes long, digest string"
+    )
+
+
 def extract_features(pages: DataFrame, binary_col: str = "html",
                      url_col: str = "url") -> DataFrame:
     """(url, n_bytes, magic, features[16]) per page. mapInPandas keeps

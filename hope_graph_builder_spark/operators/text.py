@@ -88,3 +88,35 @@ def fingerprint(text: Column) -> Column:
     whitespace-normalized lowercased text."""
     norm = F.concat_ws(" ", tokens(F.lower(text)))
     return F.md5(norm)
+
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single
+# non-alnum glyphs (the GPT-2 pattern family, ASCII classes only so
+# Java regex and RE2 agree — validated cross-engine on the corpus)
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Task-brief token counting, BPE-ish: count of pre-tokenizer
+    matches (a real BPE's token count is ≥ this; the pre-tokenizer is
+    the distributed-side work, the merge table lives in the trainer)."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN)).cast("long")
+
+
+ROLL_B = 131
+ROLL_P = 2_147_483_647
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Task-brief rolling-hash fingerprint: polynomial fold
+    h = (h·B + hash(token)) mod P over the whitespace tokens —
+    order-SENSITIVE (unlike the md5-of-joined-text fingerprint, equal
+    token multisets in different orders differ), one codegen fold."""
+    from hope_graph_builder_spark.operators.dedup import hash60
+
+    gs = F.transform(tokens(F.lower(text)), lambda t: hash60(t) % F.lit(ROLL_P))
+    return F.aggregate(
+        gs,
+        F.lit(0).cast("long"),
+        lambda h, g: (h * F.lit(ROLL_B) + g) % F.lit(ROLL_P),
+    )
