@@ -31,26 +31,67 @@ from hope_graph_builder_spark.spatial.cells import cell_size
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
-_LATE: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
-def register(name: str, sql: str | None = None, late: bool = False):
-    """``late=True`` registers the query AFTER all regular ones: the
-    driver's correctness gate records the first 50 registered queries,
-    so stable already-green entries whose operator is also covered
-    elsewhere yield their window slot to new/changed queries (they stay
-    fully runnable + locally verified via tools/check_contract.py)."""
+def register(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        (_LATE if late else _QUERIES)[name] = fn
+        _QUERIES[name] = fn
         if sql is not None:
             _ORACLES[name] = sql
         return fn
     return deco
 
 
+def _last_green_round() -> dict[str, int]:
+    """name → most recent round in which the DRIVER verified the query
+    green (rows+schema+hash), read from the committed
+    CORRECTNESS_r*.json files. Mechanical input to the window rotation
+    below; a query that failed (or errored) in a round does NOT count
+    as verified there, so regressions float back into the window."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    seen: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r0*(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            ok = bool(v.get("rows_match")) and v.get("err") is None and (
+                v.get("hash_match") is not False
+            )
+            if ok:
+                seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
 def queries() -> dict[str, QueryFn]:
-    return {**_QUERIES, **_LATE}
+    """All registered queries, ordered LEAST-RECENTLY-DRIVER-VERIFIED
+    first. The external gate records the first 50 entries; with more
+    than 50 registered queries this round-robin guarantees every query
+    re-enters the externally-verified window within
+    ceil(total/50) rounds — never-verified and regressed queries sort
+    to the very front. Selection is mechanical (derived from the
+    committed CORRECTNESS_r*.json files), not discretionary; ALL
+    queries are additionally verified locally every round via
+    tools/check_contract.py. Policy documented in COVERAGE.md."""
+    names = list(_QUERIES)
+    try:
+        seen = _last_green_round()
+    except Exception:
+        seen = {}
+    order = sorted(range(len(names)), key=lambda i: (seen.get(names[i], 0), i))
+    return {names[i]: _QUERIES[names[i]] for i in order}
 
 
 def oracle_sql() -> dict[str, str]:

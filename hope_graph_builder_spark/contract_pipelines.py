@@ -69,7 +69,6 @@ FROM (SELECT edge_id, count(*) AS n, sum(CAST(GVI AS DECIMAL(9,3))) AS s,
 @register(
     "gvi_mean_per_edge",
     _SQL_GVI_MEAN.format(gvi_pts=synth.sql_gvi_points(), edges=synth.sql_edges()),
-    late=True,  # fully contained in gvi_attributes' oracle (mg CTE) — yields its window slot
 )
 def q_gvi_mean(spark, sf_dir):
     """J4+A10+A11: DWithin(30 m) GVI samples → gated mean per edge."""
@@ -485,7 +484,6 @@ def q_noise_nulls_extent(spark, sf_dir):
     SELECT edge_id FROM e
     WHERE (allows_walking OR allows_biking) AND NOT is_no_thru_traffic
     """,
-    late=True,  # P2 also runs inside gi_full_import — yields its window slot
 )
 def q_gi_p2(spark, sf_dir):
     """P2 boolean predicate filter (otp_graph_import.py:66-74)."""
@@ -503,7 +501,6 @@ def q_gi_p2(spark, sf_dir):
            + CAST(round_even(y2 * CAST(10 AS DOUBLE), 0) AS BIGINT) AS dst
     FROM edges
     """,
-    late=True,  # J10/G1 remap also runs inside gi_full_import — yields its window slot
 )
 def q_gi_remap(spark, sf_dir):
     """J10/G1: endpoint quantization → node ids."""
@@ -543,10 +540,14 @@ def q_gi_remap(spark, sf_dir):
     """,
 )
 def q_gi_full(spark, sf_dir):
-    """Full §3.2 import chain (CC drop is a no-op at min_nodes=1, so
-    the composition is SQL-expressible; the iterative CC itself is
-    oracle-checked separately via g_connected_components)."""
-    nodes, edges = run_graph_import(spark, sf_dir)
+    """Full §3.2 import chain. min_component_nodes is pinned to 0 HERE
+    (CC drop disabled) so the composition stays SQL-expressible; the
+    iterative CC itself is oracle-checked separately via
+    g_connected_components, and the reference's small-subgraph
+    deletion (step 10) is exercised by the golden-fixture test
+    (tests/test_golden_import.py) with the reference's own ≤15-edge
+    threshold."""
+    nodes, edges = run_graph_import(spark, sf_dir, min_component_nodes=0)
     return nodes.select("id", "new_id")
 
 
@@ -585,9 +586,13 @@ def q_gi_full(spark, sf_dir):
     )
     SELECT edge_id, i,
            xs[j] + (xs[j+1] - xs[j])
-             * ((d - CASE WHEN j = 1 THEN CAST(0 AS DOUBLE) ELSE cum[j-1] END) / seg[j]) AS x,
+             * (CASE WHEN seg[j] > 0 THEN
+                  (d - CASE WHEN j = 1 THEN CAST(0 AS DOUBLE) ELSE cum[j-1] END) / seg[j]
+                ELSE CAST(0 AS DOUBLE) END) AS x,
            ys[j] + (ys[j+1] - ys[j])
-             * ((d - CASE WHEN j = 1 THEN CAST(0 AS DOUBLE) ELSE cum[j-1] END) / seg[j]) AS y
+             * (CASE WHEN seg[j] > 0 THEN
+                  (d - CASE WHEN j = 1 THEN CAST(0 AS DOUBLE) ELSE cum[j-1] END) / seg[j]
+                ELSE CAST(0 AS DOUBLE) END) AS y
     FROM jj
     """,
 )

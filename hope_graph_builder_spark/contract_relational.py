@@ -35,7 +35,6 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ) WHERE rn = 1
     """,
-    late=True,  # keep-first == d_exact_dedup min-keeper semantics — yields its window slot
 )
 def q_a1(spark, sf_dir):
     """A1 first-wins dedup (reference noise_graph_join.py:33) with a
@@ -55,7 +54,6 @@ def q_a1(spark, sf_dir):
     SELECT l_orderkey, max(l_quantity) AS max_qty, max(l_extendedprice) AS max_price
     FROM lineitem GROUP BY l_orderkey
     """,
-    late=True,  # A2 also proven inside the flagship pivot max — yields its window slot
 )
 def q_a2(spark, sf_dir):
     """A2 dedup-keep-max (reference utils.py:112-141)."""
@@ -156,7 +154,6 @@ def q_a12(spark, sf_dir):
 @register(
     "a13_histogram",
     "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2",
-    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_a13(spark, sf_dir):
     return _li(spark, sf_dir).groupBy("l_returnflag", "l_linestatus").agg(
@@ -171,7 +168,6 @@ def q_a13(spark, sf_dir):
            AS mean_price
     FROM lineitem
     """,
-    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_a14(spark, sf_dir):
     """A14 golden-mean oracle (reference test mean 33.20)."""
@@ -194,7 +190,6 @@ def q_a14(spark, sf_dir):
       ON o.o_custkey = c.c_custkey
     GROUP BY o.o_orderstatus
     """,
-    late=True,  # J6 also proven by the flagship fan-out join — yields its window slot
 )
 def q_j6(spark, sf_dir):
     """J6 equi left join with count invariants (noise_graph_join.py:122-125)."""
@@ -266,7 +261,6 @@ def q_j10(spark, sf_dir):
       FROM orders
     ) WHERE rnk <= 3
     """,
-    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_topk(spark, sf_dir):
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -345,7 +339,6 @@ def q_f11(spark, sf_dir):
                 ELSE 0 END AS bucket, count(*) AS cnt
     FROM lineitem GROUP BY 1
     """,
-    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_f12(spark, sf_dir):
     """F12 noise-range bucketing (reference graph_export/utils.py:44-52)."""
@@ -364,19 +357,23 @@ def q_f12(spark, sf_dir):
 @register(
     "f16_dense_id",
     """
-    SELECT DISTINCT l_returnflag, l_linestatus,
+    SELECT l_returnflag, l_linestatus,
            dense_rank() OVER (ORDER BY l_returnflag, l_linestatus) AS way_id
-    FROM lineitem
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
     """,
 )
 def q_f16(spark, sf_dir):
-    """F16 way-id synthesis via dense_rank (reference graph_export.py:38-43)."""
+    """F16 way-id synthesis via dense_rank (reference graph_export.py:38-43).
+
+    DISTINCT runs FIRST (map-side-combined shuffle over all rows), so
+    the unavoidable single-partition global window ranks only the
+    handful of distinct keys — never the full table."""
     w = Window.orderBy("l_returnflag", "l_linestatus")
     return (
         _li(spark, sf_dir)
         .select("l_returnflag", "l_linestatus")
-        .withColumn("way_id", F.dense_rank().over(w))
         .distinct()
+        .withColumn("way_id", F.dense_rank().over(w))
     )
 
 
@@ -388,7 +385,6 @@ def q_f16(spark, sf_dir):
                                least(1.0, value / 200.0 + 0.6 * (value / 50.0))), 6) AS combined
     FROM events
     """,
-    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_f18(spark, sf_dir):
     """F18 combined-GVI formula shape (reference green_view_join_v1.py:94-115):
@@ -449,7 +445,6 @@ def q_sessionize(spark, sf_dir):
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2
     """,
-    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_time_buckets(spark, sf_dir):
     """Windowed aggregation (batch twin of the streaming 5-min window)."""
@@ -475,7 +470,6 @@ def q_time_buckets(spark, sf_dir):
            CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F
     FROM lineitem GROUP BY l_returnflag
     """,
-    late=True,  # stable r01-green; op also covered elsewhere — yields its 50-row window slot
 )
 def q_pivot(spark, sf_dir):
     """Pivot (layer-union→pivot is the engine's J1 rewrite; this is the

@@ -68,7 +68,6 @@ def q_exact_dedup(spark, sf_dir):
     SELECT doc_id, array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), ',') AS sig_str
     FROM ({_sql_minhash_sig()})
     """,
-    late=True,  # subsumed by the composed LSH pipeline queries — yields its window slot
 )
 def q_minhash_sig(spark, sf_dir):
     sigs = dedup.minhash_signature(_docs(spark, sf_dir))
@@ -336,7 +335,6 @@ def _sql_lsh_bucket(vec: str, plane_offset: int = 0) -> str:
 @register(
     "e_lsh_buckets",
     f"SELECT vec_id, {_sql_lsh_bucket('embedding')} AS bucket FROM embeddings",
-    late=True,  # subsumed by the composed LSH pipeline queries — yields its window slot
 )
 def q_lsh_buckets(spark, sf_dir):
     emb = _emb(spark, sf_dir)

@@ -61,9 +61,11 @@ def ring_boundary_intersects_rect(
     """P4 (noise_data_preprocessing.py:43-47): does the polygon RING
     (boundary) touch the rect? ``exists`` over the ring's segments —
     note this is boundary ∩ rect, NOT polygon ∩ rect: a polygon whose
-    interior swallows the rect whole is correctly False."""
+    interior swallows the rect whole is correctly False.
+    Degenerate rings (<2 points) have no segments → False (guarded so
+    the descending F.sequence(1, 0) never reaches element_at)."""
     idx = F.sequence(F.lit(1), F.size(xs) - 1)
-    return F.exists(
+    hit = F.exists(
         idx,
         lambda i: segment_intersects_rect(
             F.element_at(xs, i.cast("int")),
@@ -73,6 +75,7 @@ def ring_boundary_intersects_rect(
             rect,
         ),
     )
+    return F.when(F.size(xs) >= 2, hit).otherwise(F.lit(False))
 
 
 # ------------------------------------------------------------- F9 explode --

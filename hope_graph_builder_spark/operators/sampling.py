@@ -122,15 +122,21 @@ def sample_polyline(
             )
         )
     ).cast("int")
+    # zero-length segment (repeated consecutive vertices) ⇒ snap to the
+    # segment start instead of dividing 0/0 into NaN
+    seg_j = F.element_at("_seg", F.col("_j"))
     df = df.withColumn("_j", j).withColumn(
         "_t",
-        (
-            F.col("_d")
-            - F.when(F.col("_j") == 1, F.lit(0.0)).otherwise(
-                F.element_at("_cum", F.col("_j") - 1)
+        F.when(
+            seg_j > 0,
+            (
+                F.col("_d")
+                - F.when(F.col("_j") == 1, F.lit(0.0)).otherwise(
+                    F.element_at("_cum", F.col("_j") - 1)
+                )
             )
-        )
-        / F.element_at("_seg", F.col("_j")),
+            / seg_j,
+        ).otherwise(F.lit(0.0)),
     )
     extra = [F.col("_i").alias(index_col)] if index_col else []
     return df.select(

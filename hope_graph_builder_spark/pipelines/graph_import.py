@@ -81,7 +81,14 @@ def run_graph_import(
     aoi: tuple[float, float, float, float] = (0.0, 0.0, 80000.0, 80000.0),
     min_component_nodes: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full §3.2 chain → (clean_nodes with dense new_id, clean_edges)."""
+    """Full §3.2 chain → (clean_nodes with dense new_id, clean_edges).
+
+    ``min_component_nodes=0`` keeps every component (documented
+    deviation from the reference default, which deletes subgraphs with
+    ≤15 EDGES, otp_graph_import.py:192-199 — an in-memory igraph
+    decompose keyed on edge counts). Callers that want the reference
+    cleanup pass an explicit threshold; the golden-fixture test
+    reproduces the exact ≤15-edge semantics."""
     e = filter_aoi(filter_traversable(edges_with_attrs(spark, sf_dir)), aoi)
     nodes, e2 = build_graph(e)
     cc = connected_components(e2)
