@@ -408,6 +408,66 @@ def q_f9_explode(spark, sf_dir):
     return explode_multipolygon(geoms)
 
 
+@register(
+    "pip_wkb_donut",
+    f"""
+    WITH pts AS ({synth.sql_points()}),
+    gen AS (SELECT doc_id, x, y FROM pts WHERE doc_id % 25 = 0),
+    parts AS (SELECT doc_id, x, y, unnest(range(0, 1 + doc_id % 3)) AS k FROM gen),
+    outer_r AS (
+      SELECT doc_id,
+             x + k * CAST(37 AS DOUBLE) AS rminx,
+             y + k * CAST(23 AS DOUBLE) AS rminy,
+             (x + k * CAST(37 AS DOUBLE)) + CAST(10 + (doc_id * 7 + k * 13) % 50 AS DOUBLE) AS rmaxx,
+             (y + k * CAST(23 AS DOUBLE)) + CAST(8 + (doc_id * 11 + k * 17) % 40 AS DOUBLE) AS rmaxy,
+             k, (doc_id + k) % 4 = 0 AS has_hole
+      FROM parts
+    ),
+    rings AS (
+      SELECT doc_id, rminx, rminy, rmaxx, rmaxy FROM outer_r
+      UNION ALL
+      SELECT doc_id,
+             rminx + CAST(2 AS DOUBLE),
+             rminy + CAST(2 AS DOUBLE),
+             rminx + CAST(2 AS DOUBLE) + CAST(1 + (doc_id + k) % 3 AS DOUBLE),
+             rminy + CAST(2 AS DOUBLE) + CAST(1 + (doc_id + k) % 2 AS DOUBLE)
+      FROM outer_r WHERE has_hole
+    )
+    SELECT p.doc_id, r.doc_id AS poly_id
+    FROM pts p JOIN rings r
+      ON p.x >= r.rminx AND p.x < r.rmaxx AND p.y >= r.rminy AND p.y < r.rmaxy
+    GROUP BY p.doc_id, r.doc_id
+    HAVING count(*) % 2 = 1
+    """,
+)
+def q_pip_wkb_donut(spark, sf_dir):
+    """J1 general-polygon PIP with HOLES and overlapping MULTIPARTS:
+    the even-odd refine across all rings (operators/spatial_join.
+    pip_join_wkb). The oracle expresses the identical even-odd rule in
+    pure SQL — per (point, polygon), the number of containing rings
+    (outers + holes, half-open rect containment ≡ the ray-cast
+    convention for axis-aligned rings) must be odd. Inside-the-hole
+    points and even-overlap cancellations correctly do NOT match."""
+    from hope_graph_builder_spark.operators.geometry import (
+        explode_multipolygon,
+        synth_multipolygons,
+    )
+    from hope_graph_builder_spark.operators.spatial_join import pip_join_wkb
+
+    pts = synth.page_points(spark, sf_dir).select("doc_id", "x", "y")
+    gen = pts.filter(F.col("doc_id") % 25 == 0)
+    geoms = synth_multipolygons(gen)
+    bbox = explode_multipolygon(geoms).groupBy("doc_id").agg(
+        F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+        F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+    )
+    polys = (
+        geoms.join(bbox, "doc_id")
+        .select(F.col("doc_id").alias("poly_id"), "geom", "minx", "miny", "maxx", "maxy")
+    )
+    return pip_join_wkb(pts, polys, res=7).select("doc_id", "poly_id")
+
+
 _EXTENT = (0.0, 0.0, 60000.0, 131072.0)
 
 

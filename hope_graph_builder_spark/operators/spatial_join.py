@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from hope_graph_builder_spark.spatial import cell_id_expr, cover_bbox_expr
-from hope_graph_builder_spark.spatial.kernels import points_in_ring
-from hope_graph_builder_spark.spatial.wkb import polygon_from_wkb
+from hope_graph_builder_spark.spatial.kernels import points_in_rings
+from hope_graph_builder_spark.spatial.wkb import multipolygon_from_wkb
 
 CELL = "_cell"
 SALT = "_salt"
@@ -138,12 +138,15 @@ def pip_join_wkb(
     hot: DataFrame | None = None,
     broadcast_polys: bool = True,
 ) -> DataFrame:
-    """Point-in-polygon join for general (single-ring WKB) polygons.
+    """Point-in-polygon join for general WKB geometry: Polygon or
+    MultiPolygon, WITH hole rings (reference noise/land-cover surfaces
+    carry both, noise_data_preprocessing.py:26-41).
 
     Same cell prefilter as pip_join_rect; exact refine is a vectorized
-    ray-cast (spatial/kernels.points_in_ring) over Arrow batches,
-    grouped by polygon within each batch — one decode + one vectorized
-    test per (batch, polygon).
+    even-odd ray-cast across ALL rings of all parts
+    (spatial/kernels.points_in_rings — inside-the-hole correctly does
+    NOT match) over Arrow batches, grouped by polygon within each
+    batch — one decode + one vectorized test per (batch, polygon).
     Requires bbox columns minx/miny/maxx/maxy on ``polys`` (cheap to
     precompute at ingest; keeps the cover native).
     """
@@ -165,8 +168,9 @@ def pip_join_wkb(
             px = pdf[xcol].to_numpy(dtype=np.float64)
             py = pdf[ycol].to_numpy(dtype=np.float64)
             for _, idx in pdf.groupby(poly_id, sort=False).indices.items():
-                ring = polygon_from_wkb(pdf[gcol].iloc[idx[0]])
-                keep[idx] = points_in_ring(px[idx], py[idx], ring)
+                parts = multipolygon_from_wkb(bytes(pdf[gcol].iloc[idx[0]]))
+                rings = [r for part in parts for r in part]
+                keep[idx] = points_in_rings(px[idx], py[idx], rings)
             yield pdf.loc[keep].drop(columns=[gcol])
 
     return cand.mapInPandas(refine, schema=out_schema)

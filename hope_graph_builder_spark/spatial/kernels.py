@@ -31,6 +31,19 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     return (crossings.sum(axis=1) % 2).astype(bool)
 
 
+def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd containment across MANY rings (outer rings + holes of a
+    Polygon/MultiPolygon): a point is inside iff it is inside an odd
+    number of rings — inside an outer ring but also inside one of its
+    hole rings cancels to outside. Matches Shapely/GEOS `within` for
+    valid polygons with holes and disjoint multiparts (reference
+    polygon layers carry both, noise_data_preprocessing.py:26-41)."""
+    inside = np.zeros(len(px), dtype=bool)
+    for r in rings:
+        inside ^= points_in_ring(px, py, r)
+    return inside
+
+
 def point_segment_dist2(
     px: np.ndarray, py: np.ndarray,
     ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray,

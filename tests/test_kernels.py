@@ -97,3 +97,22 @@ def test_wkb_roundtrip():
     assert out.shape == (5, 2) and (out[0] == out[-1]).all()
     ls = wkb.linestring_to_wkb(ring)
     assert (wkb.linestring_from_wkb(ls) == ring).all()
+
+
+def test_points_in_rings_even_odd():
+    import numpy as np
+
+    from hope_graph_builder_spark.spatial.kernels import points_in_rings
+
+    outer = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[4.0, 4], [6, 4], [6, 6], [4, 6], [4, 4]])
+    px = np.array([5.0, 2.0, 11.0, 4.5])
+    py = np.array([5.0, 2.0, 5.0, 4.5])
+    # in-hole → out, in-ring → in, outside → out, in-hole → out
+    got = points_in_rings(px, py, [outer, hole])
+    assert got.tolist() == [False, True, False, False]
+    # two overlapping outers cancel even-odd in the overlap
+    outer2 = np.array([[5.0, 0], [15, 0], [15, 10], [5, 10], [5, 0]])
+    got2 = points_in_rings(np.array([7.0, 2.0, 12.0]), np.array([5.0, 5.0, 5.0]),
+                           [outer, outer2])
+    assert got2.tolist() == [False, True, True]
