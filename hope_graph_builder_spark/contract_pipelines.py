@@ -215,6 +215,53 @@ def q_f10_dissolve(spark, sf_dir):
     return dissolve_union_area(t)
 
 
+@register(
+    "f10_dissolve_parts",
+    f"""
+    WITH veg AS ({synth.sql_veg_overlapping_duckdb()}),
+    t AS (
+      SELECT *, CAST(floor(minx / 10000) AS BIGINT) * 1000
+                + CAST(floor(miny / 10000) AS BIGINT) AS tile
+      FROM veg
+    ),
+    cells AS (
+      SELECT DISTINCT tile, veg_class,
+             CAST(minx / 200 AS BIGINT) + cx.range AS cellx,
+             CAST(miny / 200 AS BIGINT) + cy.range AS celly
+      FROM t, range(0, 8) cx, range(0, 8) cy
+    )
+    SELECT tile, veg_class,
+           CAST(count(*) AS DOUBLE) * CAST(40000 AS DOUBLE) AS union_area
+    FROM cells GROUP BY tile, veg_class
+    """,
+)
+def q_f10_dissolve_parts(spark, sf_dir):
+    """F10 dissolve GEOMETRY: the engine emits the union's disjoint
+    rectangle decomposition (dissolve_union_geometry — one row per
+    part, scalar bounds + WKB), then re-aggregates the emitted parts'
+    areas. Exactness of the geometry output: sum of emitted disjoint
+    part areas must equal the independent union area the oracle
+    computes by 200 m cell counting. Part areas are multiples of
+    40000 (integer-valued < 2^53), so the float sum is exact and
+    order-free."""
+    from hope_graph_builder_spark.pipelines.overlay import dissolve_union_geometry
+
+    veg = synth.veg_rects_overlapping(spark)
+    t = veg.select(
+        (
+            F.floor(F.col("minx") / 10000).cast("long") * 1000
+            + F.floor(F.col("miny") / 10000).cast("long")
+        ).alias("tile"),
+        "veg_class", "minx", "miny", "maxx", "maxy",
+    )
+    parts = dissolve_union_geometry(t)
+    return parts.groupBy("tile", "veg_class").agg(
+        F.sum(
+            (F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))
+        ).alias("union_area")
+    )
+
+
 # ---------------------------------------------------------------- export --
 
 @register(

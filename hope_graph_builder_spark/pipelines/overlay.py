@@ -30,9 +30,10 @@ from hope_graph_builder_spark.spatial import cell_id_expr
 from hope_graph_builder_spark.spatial.kernels import (
     clip_polygon_convex,
     rect_union_area,
+    rect_union_parts,
     shoelace_area,
 )
-from hope_graph_builder_spark.spatial.wkb import polygon_from_wkb
+from hope_graph_builder_spark.spatial.wkb import polygon_from_wkb, rect_to_wkb
 
 AREA_Q = 1_000_000.0  # micro-m² quantization for order-free sums
 
@@ -110,6 +111,41 @@ def dissolve_union_area(
             pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
         )
         return pd.DataFrame([[*key, area]], columns=[*group_cols, "union_area"])
+
+    return rects.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+
+
+def dissolve_union_geometry(
+    rects: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """F10 dissolve returning the union GEOMETRY, not just its area —
+    the reference's ``unary_union`` output is a geometry that feeds
+    later stages (`get_nodata_areas.py:36-37`, PostGIS ST_Union at
+    `land_cover_overlay_analysis.py:114-129`). Emits the union's
+    disjoint rectangle decomposition: one row per part with scalar
+    bounds (so every downstream rect operator consumes it natively)
+    plus the OGC WKB polygon. Same shuffle shape as
+    ``dissolve_union_area`` — one hash shuffle on the group key, then
+    a map-sized kernel per group."""
+    group_cols = group_cols or ["tile", "veg_class"]
+    by_name = {f.name: f.dataType.simpleString() for f in rects.schema.fields}
+    schema = (
+        ", ".join(f"{c} {by_name[c]}" for c in group_cols)
+        + ", part_i int, minx double, miny double, maxx double, maxy double, geom binary"
+    )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = rect_union_parts(
+            pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
+        )
+        rows = [
+            [*key, i, p[0], p[1], p[2], p[3], rect_to_wkb(p[0], p[1], p[2], p[3])]
+            for i, p in enumerate(parts)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[*group_cols, "part_i", "minx", "miny", "maxx", "maxy", "geom"],
+        )
 
     return rects.groupBy(*group_cols).applyInPandas(fn, schema=schema)
 

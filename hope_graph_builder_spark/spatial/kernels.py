@@ -113,6 +113,41 @@ def rect_union_area(rects: np.ndarray) -> float:
     return float((covered * np.outer(w, h)).sum())
 
 
+def rect_union_parts(rects: np.ndarray) -> np.ndarray:
+    """Disjoint rectangle decomposition of the union of axis-aligned
+    rectangles — the GEOMETRY twin of ``rect_union_area`` (reference
+    ``unary_union`` returns the dissolved geometry itself for reuse
+    downstream, `get_nodata_areas.py:36-37`). Same coordinate
+    compression; per y-strip, consecutive covered x-cells merge into
+    maximal runs. Output (k, 4) [minx, miny, maxx, maxy]: pairwise
+    disjoint, exact cover (sum of part areas == rect_union_area)."""
+    if len(rects) == 0:
+        return np.zeros((0, 4))
+    xs = np.unique(np.concatenate([rects[:, 0], rects[:, 2]]))
+    ys = np.unique(np.concatenate([rects[:, 1], rects[:, 3]]))
+    if len(xs) < 2 or len(ys) < 2:
+        return np.zeros((0, 4))
+    covered = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
+    ix0 = np.searchsorted(xs, rects[:, 0])
+    ix1 = np.searchsorted(xs, rects[:, 2])
+    iy0 = np.searchsorted(ys, rects[:, 1])
+    iy1 = np.searchsorted(ys, rects[:, 3])
+    for a, b, c, d in zip(ix0, ix1, iy0, iy1):
+        covered[a:b, c:d] = True
+    out = []
+    for j in range(len(ys) - 1):
+        col = covered[:, j]
+        if not col.any():
+            continue
+        # maximal runs of covered cells along x
+        edges = np.diff(np.concatenate([[0], col.view(np.int8), [0]]))
+        starts = np.flatnonzero(edges == 1)
+        ends = np.flatnonzero(edges == -1)
+        for s, t in zip(starts, ends):
+            out.append((xs[s], ys[j], xs[t], ys[j + 1]))
+    return np.array(out, dtype=np.float64)
+
+
 def simplify_rdp(coords: np.ndarray, tol: float) -> np.ndarray:
     """Douglas-Peucker polyline simplification (F19 — reference
     `graph_export/utils.py:105-106`, Shapely ``simplify(tol)`` with

@@ -116,3 +116,37 @@ def test_points_in_rings_even_odd():
     got2 = points_in_rings(np.array([7.0, 2.0, 12.0]), np.array([5.0, 5.0, 5.0]),
                            [outer, outer2])
     assert got2.tolist() == [False, True, True]
+
+
+def test_rect_union_parts_disjoint_exact_cover():
+    import numpy as np
+
+    from hope_graph_builder_spark.spatial.kernels import (
+        rect_union_area,
+        rect_union_parts,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(25):
+        n = rng.randint(1, 12)
+        x0 = rng.uniform(0, 100, n); y0 = rng.uniform(0, 100, n)
+        rects = np.column_stack([x0, y0, x0 + rng.uniform(1, 40, n),
+                                 y0 + rng.uniform(1, 40, n)])
+        parts = rect_union_parts(rects)
+        areas = (parts[:, 2] - parts[:, 0]) * (parts[:, 3] - parts[:, 1])
+        assert abs(areas.sum() - rect_union_area(rects)) < 1e-6
+        # pairwise disjoint (open-interval overlap test)
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                a, b = parts[i], parts[j]
+                assert not (a[0] < b[2] and b[0] < a[2]
+                            and a[1] < b[3] and b[1] < a[3])
+        # random probes: in-union iff in-some-part
+        px = rng.uniform(-5, 150, 200); py = rng.uniform(-5, 150, 200)
+        in_union = np.zeros(200, dtype=bool)
+        for r in rects:
+            in_union |= (px >= r[0]) & (px < r[2]) & (py >= r[1]) & (py < r[3])
+        in_parts = np.zeros(200, dtype=bool)
+        for p in parts:
+            in_parts |= (px >= p[0]) & (px < p[2]) & (py >= p[1]) & (py < p[3])
+        assert (in_union == in_parts).all()
