@@ -542,7 +542,7 @@ _EXTENT = (0.0, 0.0, 60000.0, 131072.0)
     flags AS (
       SELECT edge_id,
              ((x1 >= {_EXTENT[0]} AND x1 < {_EXTENT[2]} AND y1 >= {_EXTENT[1]} AND y1 < {_EXTENT[3]})
-              OR (x2 >= {_EXTENT[0]} AND x2 < {_EXTENT[2]} AND y2 >= {_EXTENT[1]} AND y2 < {_EXTENT[3]}))
+              AND (x2 >= {_EXTENT[0]} AND x2 < {_EXTENT[2]} AND y2 >= {_EXTENT[1]} AND y2 < {_EXTENT[3]}))
              AS in_extent
       FROM edges
     )

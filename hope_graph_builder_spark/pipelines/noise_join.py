@@ -256,9 +256,15 @@ def run_noise_join(
     noise_sources map).
 
     ``extent_rect`` enables the J3 three-valued semantics (reference
-    noise_graph_update.py:29-48): edges with NO endpoint inside the
-    noise-data extent get noises=NULL / noise_source=NULL (nodata)
-    instead of the inside-but-unmatched {} / '' defaults."""
+    noise_graph_update.py:36-44, gpd.sjoin op='within'): edges whose
+    GEOMETRY is within the noise-data extent get the {} / '' defaults
+    when unmatched; all other edges get noises=NULL / noise_source=NULL
+    (nodata). For a rectangular (convex) extent and straight 2-vertex
+    edges, geometry-within ⇔ BOTH endpoints inside — exactly the native
+    predicate below, no refinement needed. (A CONCAVE extent polygon
+    would need a segment-inside test — endpoint membership is then
+    necessary but not sufficient; compose ring_boundary_intersects_rect
+    / pip refinement for that case.)"""
     final = noise_final_samples(
         edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot,
         dedup_xy=dedup_xy,
@@ -277,8 +283,9 @@ def run_noise_join(
     inside = lambda x, y: (  # noqa: E731
         (F.col(x) >= ex0) & (F.col(x) < ex1) & (F.col(y) >= ey0) & (F.col(y) < ey1)
     )
+    # within(convex rect) ⇔ both endpoints inside (see docstring)
     edges_flagged = edges.select(
-        "edge_id", (inside("x1", "y1") | inside("x2", "y2")).alias("in_extent")
+        "edge_id", (inside("x1", "y1") & inside("x2", "y2")).alias("in_extent")
     )
     # (edges_flagged is the preserved side of the left join, so it
     # cannot be broadcast; it re-shuffles on edge_id — extent mode only)

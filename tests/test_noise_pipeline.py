@@ -115,12 +115,14 @@ def test_three_valued_null_extent(spark, edges, layers):
         (F.col("noises").isNull() == F.col("noise_sources").isNull()).alias("b"),
     ).filter(~F.col("a") | ~F.col("b")).count()
     assert coupled == 0
-    # NULL only outside the extent
+    # NULL exactly when the edge geometry is NOT within the extent —
+    # within(convex rect) ⇔ both endpoints inside (reference
+    # noise_graph_update.py:36-44, sjoin op='within')
     flagged = edges.select(
         "edge_id",
         (
             ((F.col("x1") >= 0) & (F.col("x1") < 50000.0))
-            | ((F.col("x2") >= 0) & (F.col("x2") < 50000.0))
+            & ((F.col("x2") >= 0) & (F.col("x2") < 50000.0))
         ).alias("in_extent"),
     )
     bad = (
