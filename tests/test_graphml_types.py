@@ -1,0 +1,98 @@
+"""F21 typed-converter round-trip over EVERY §1.2 attribute type —
+the Spark twin of the reference's GraphML converter suite test
+(`otp_graph_import_test.py:62-100` over `common/igraph.py:74-119`):
+int, str, float, bool, three-valued dicts (None / {} / populated),
+string-keyed dicts, tuples, WKT geometry — through the stringly
+representation AND a parquet write/read."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def typed_edges(spark):
+    rows = [
+        Row(
+            edge_id=0, name_otp="path", length=15.556, bike_safety_factor=1.6666666,
+            is_stairs=False, allows_walking=True,
+            noises={40: 2.5, 45: 0.75}, noise_source="road",
+            noise_sources={"road": 3, "train": 1},
+            uv=Row(u=196723, v=196724),
+            geom_wkt="LINESTRING (25.03 60.277, 25.031 60.2769)",
+        ),
+        # the {} / '' no-noise state (igraph.py:62)
+        Row(
+            edge_id=1, name_otp="", length=0.0, bike_safety_factor=1.0,
+            is_stairs=True, allows_walking=False,
+            noises={}, noise_source="", noise_sources={},
+            uv=Row(u=1, v=2), geom_wkt="LINESTRING EMPTY",
+        ),
+        # the None nodata state on every nullable attribute
+        Row(
+            edge_id=2, name_otp=None, length=None, bike_safety_factor=None,
+            is_stairs=None, allows_walking=None,
+            noises=None, noise_source=None, noise_sources=None,
+            uv=None, geom_wkt=None,
+        ),
+    ]
+    schema = (
+        "edge_id bigint, name_otp string, length double, bike_safety_factor double, "
+        "is_stairs boolean, allows_walking boolean, "
+        "noises map<int,double>, noise_source string, noise_sources map<string,int>, "
+        "uv struct<u:bigint,v:bigint>, geom_wkt string"
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def test_stringly_repr_matches_python_literals(typed_edges):
+    """The sink side must emit exactly the reference's on-disk strings:
+    Python dict/tuple/bool literals, 'None' nulls."""
+    from hope_graph_builder_spark.functions.graphml_types import edge_to_strings
+
+    s = {r["edge_id"]: r for r in edge_to_strings(typed_edges).collect()}
+    assert s["0"]["noises"] == "{40: 2.5, 45: 0.75}"
+    assert s["0"]["noise_sources"] == "{'road': 3, 'train': 1}"
+    assert s["0"]["uv"] == "(196723, 196724)"
+    assert s["0"]["is_stairs"] == "False" and s["0"]["allows_walking"] == "True"
+    assert s["1"]["noises"] == "{}" and s["1"]["noise_sources"] == "{}"
+    assert s["2"]["noises"] == "None" and s["2"]["uv"] == "None"
+    assert s["2"]["length"] == "None" and s["2"]["is_stairs"] == "None"
+
+
+def test_round_trip_all_types_through_parquet(typed_edges, spark, tmp_path):
+    from hope_graph_builder_spark.functions.graphml_types import (
+        edge_from_strings,
+        edge_to_strings,
+    )
+
+    path = str(tmp_path / "graphml_equiv.parquet")
+    edge_to_strings(typed_edges).write.mode("overwrite").parquet(path)
+    back = edge_from_strings(spark.read.parquet(path))
+
+    assert back.schema == typed_edges.schema
+    # exact row equality both ways (maps compared via sorted entries)
+    def canon(df):
+        return df.select(
+            "edge_id", "name_otp", "length", "bike_safety_factor",
+            "is_stairs", "allows_walking",
+            F.to_json(F.col("noises")).alias("noises"),
+            "noise_source",
+            F.to_json(F.col("noise_sources")).alias("noise_sources"),
+            F.col("uv").cast("string").alias("uv"),
+            "geom_wkt",
+        )
+
+    a, b = canon(typed_edges), canon(back)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # three-valued semantics survive: None, {}, populated are distinct
+    states = {
+        r["edge_id"]: (r["noises"] is None, r["noises"] == {} if r["noises"] is not None else None)
+        for r in back.collect()
+    }
+    assert states[0] == (False, False)
+    assert states[1] == (False, True)
+    assert states[2] == (True, None)
