@@ -593,3 +593,36 @@ def q_connected_components(spark, sf_dir):
     """G2 re-expression: iterative min-label propagation; DuckDB oracle
     is a recursive-CTE reachability closure."""
     return connected_components(_graph_edges(spark, sf_dir))
+
+
+# ------------------------------------------------------ text extraction --
+
+@register(
+    "t_extract_text",
+    """
+    SELECT 'https://example.org/' || lang || '/' || doc_id AS url,
+           true AS byte_identical,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def q_extract_text(spark, sf_dir):
+    """The per-row invariant the input_hint mandates: byte-identical
+    extracted text per url. The engine rebuilds real markup around the
+    ground-truth text (head/title, <p> paragraphs, inline <b>, escaped
+    entities — operators/extract.markup_pages), runs the native
+    extractor over the html binary, and must reproduce the text column
+    byte-for-byte: the oracle states the ground truth (md5 of the
+    reference text, byte_identical=true), so any extractor deviation
+    hash-mismatches."""
+    from hope_graph_builder_spark.operators.extract import extract_text, markup_pages
+
+    from hope_graph_builder_spark import synth
+
+    p = markup_pages(synth.pages(spark, sf_dir))
+    out = extract_text(p)
+    return out.select(
+        "url",
+        (F.col("extracted_text") == F.col("text")).alias("byte_identical"),
+        F.md5(F.encode(F.col("extracted_text"), "UTF-8")).alias("text_md5"),
+    )

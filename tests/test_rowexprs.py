@@ -69,3 +69,30 @@ def test_geojson_feature_is_valid_json(spark):
     assert d["type"] == "Feature"
     assert d["geometry"]["coordinates"] == [[1.0, 2.0], [3.0, 4.0]]
     assert d["properties"] == {"id": 7, "noise_source": "road"}
+
+
+def test_extract_text_byte_identity_nasty_strings(spark):
+    """extract(markup(text)) must be byte-identical for adversarial
+    content: entities, angle brackets, repeated/leading/trailing
+    whitespace, unicode, empty strings, tag-looking text."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators.extract import extract_text, markup_pages
+
+    texts = [
+        "plain words here",
+        "a & b < c > d \"quoted\"",
+        "double  space and  more",
+        " leading and trailing ",
+        "",
+        "<p>not a tag</p> &amp; already-escaped",
+        "unicode äö € 中文",
+        "word " * 20 + "tail",   # crosses several paragraph boundaries
+    ]
+    df = spark.createDataFrame(
+        [(i, t, f"https://example.org/x/{i}") for i, t in enumerate(texts)],
+        "doc_id long, text string, url string",
+    )
+    out = extract_text(markup_pages(df))
+    bad = out.filter(F.col("extracted_text") != F.col("text")).collect()
+    assert bad == [], [(r["text"], r["extracted_text"]) for r in bad]
