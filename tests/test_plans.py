@@ -88,3 +88,20 @@ def test_flagship_no_cartesian_and_codegen(spark):
     with contextlib.redirect_stdout(buf):
         df.explain(mode="codegen")
     assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_f16_distinct_before_global_window(spark):
+    """The single-partition global window (dense_rank over all rows)
+    must rank the DISTINCT keys, not the full table: the plan's
+    single-partition exchange has to sit ABOVE the hash aggregate that
+    implements distinct (VERDICT r2 #2)."""
+    from hope_graph_builder_spark.contract import queries
+
+    plan = _plan(queries()["f16_dense_id"](spark, SF_TINY))
+    single = plan.index("Exchange SinglePartition")
+    agg = plan.index("HashAggregate")
+    # text order in executedPlan: parents print before children, so the
+    # SinglePartition exchange appearing BEFORE the first HashAggregate
+    # means distinct runs underneath (earlier stage) — the window input
+    # is already deduplicated
+    assert single < agg, plan[:2000]
