@@ -188,3 +188,28 @@ def test_golden_ring_sampling_std():
     assert np.abs(d_center - 40.0).max() < 1e-6  # all exactly on the circle
     d = np.sqrt(((sps - sps[-1]) ** 2).sum(axis=1))
     assert abs(np.std(d) - 24.812) < 0.05
+
+
+@pytest.mark.parametrize(
+    "length,expected",
+    [(10.0, 0.5), (5.0, 0.5), (40.0, 0.5), (70.0, 0.5), (80.0, None)],
+)
+def test_golden_gvi_gated_mean(spark, length, expected):
+    """green_view_join_v1_test.py:69-80 (get_mean_edge_gsv_gvi golden):
+    GVI list [0.5, 1, 0] against edge lengths 10/5/40/70 → 0.5; at
+    length 80 the required sample count (floor(80/10·0.5) = 4) exceeds
+    the 3 samples → None. Run through the FULL DataFrame pipeline
+    (dwithin join + gated mean), not a scalar helper."""
+    from hope_graph_builder_spark.pipelines.green_view import gvi_mean_per_edge
+
+    edges = spark.createDataFrame(
+        [(1, 0.0, 0.0, length, 0.0, length)],
+        "edge_id long, x1 double, y1 double, x2 double, y2 double, length double",
+    )
+    pts = spark.createDataFrame(
+        [(1, 1.0, 5.0, 0.5), (2, 2.0, 5.0, 1.0), (3, 3.0, 5.0, 0.0)],
+        "gvi_id long, x double, y double, GVI double",
+    )
+    rows = gvi_mean_per_edge(edges, pts, res=6).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 3
+    assert rows[0]["mean_gvi"] == expected
