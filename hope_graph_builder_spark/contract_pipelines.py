@@ -29,6 +29,7 @@ from hope_graph_builder_spark.pipelines.green_view import (
 )
 from hope_graph_builder_spark.pipelines.noise_join import run_noise_join
 from hope_graph_builder_spark.pipelines.overlay import overlay_share_rect
+from hope_graph_builder_spark import oracle
 from hope_graph_builder_spark.oracle import flagship_ctes
 
 
@@ -513,6 +514,31 @@ def q_pip_wkb_donut(spark, sf_dir):
         .select(F.col("doc_id").alias("poly_id"), "geom", "minx", "miny", "maxx", "maxy")
     )
     return pip_join_wkb(pts, polys, res=7).select("doc_id", "poly_id")
+
+
+@register("noise_nodata_poly", oracle.sql_noise_exposures())
+def q_noise_nodata_poly(spark, sf_dir):
+    """Flagship with the nodata zone given as GENERAL GEOMETRY (WKB
+    polygon through the even-odd PIP semi-join) instead of a rect
+    predicate — the reference's nodata layer is a multipolygon
+    GeoPackage layer (noise_graph_join.py:41-47). The polygon here
+    encodes exactly NODATA_RECT, so the oracle is the UNCHANGED rect
+    flagship SQL: any deviation in the polygon path hash-mismatches."""
+    from hope_graph_builder_spark.operators.noise import edge_db_rows
+    from hope_graph_builder_spark.pipelines.noise_join import noise_final_samples
+    from hope_graph_builder_spark.spatial.wkb import rect_to_wkb
+
+    nx0, ny0, nx1, ny1 = synth.NODATA_RECT
+    polys = spark.createDataFrame(
+        [(0, bytearray(rect_to_wkb(nx0, ny0, nx1, ny1)),
+          float(nx0), float(ny0), float(nx1), float(ny1))],
+        "poly_id long, geom binary, minx double, miny double, maxx double, maxy double",
+    )
+    final = noise_final_samples(
+        synth.page_edges(spark, sf_dir), synth.noise_layers(spark),
+        None, res=7, nodata_polys=polys,
+    )
+    return edge_db_rows(final)
 
 
 _EXTENT = (0.0, 0.0, 60000.0, 131072.0)

@@ -76,13 +76,15 @@ def unique_points(samples: DataFrame) -> DataFrame:
 def noise_final_samples(
     edges: DataFrame,
     layers: DataFrame,
-    nodata_rect: tuple[float, float, float, float],
+    nodata_rect: tuple[float, float, float, float] | None,
     res: int = 7,
     ring_radius: float = 7.0,
     ring_count: int = 20,
     salt: int = 1,
     hot: DataFrame | None = None,
     dedup_xy: bool = True,
+    nodata_polys: DataFrame | None = None,
+    nodata_res: int = 4,
 ) -> DataFrame:
     """edges(edge_id, x1, y1, x2, y2, length) ×
     layers(layer, poly_id, minx, miny, maxx, maxy, db) →
@@ -110,11 +112,33 @@ def noise_final_samples(
     samples = with_xy_id(sample_edges(edges))
     uniq = unique_points(samples)
 
-    nx0, ny0, nx1, ny1 = nodata_rect
-    uniq = uniq.withColumn(
-        "nodata_zone",
-        (F.col("x") >= nx0) & (F.col("x") < nx1) & (F.col("y") >= ny0) & (F.col("y") < ny1),
-    )
+    if nodata_polys is not None:
+        # general nodata GEOMETRY (the reference's nodata layer is a
+        # municipal-boundary multipolygon read from GeoPackage,
+        # noise_graph_join_test.py:90, noise_graph_join.py:41-47):
+        # even-odd PIP semi-join flags the unique sample locations.
+        # nodata_res is coarse by default — nodata zones are huge
+        # (municipality-scale), so big cells keep the cover linear.
+        from hope_graph_builder_spark.operators.spatial_join import pip_join_wkb
+
+        flags = (
+            pip_join_wkb(
+                uniq.select("xy_id", "x", "y"), nodata_polys,
+                res=nodata_res, point_id="xy_id",
+            )
+            .select("xy_id").distinct()
+            .withColumn("_nz", F.lit(True))
+        )
+        uniq = uniq.join(flags, "xy_id", "left").withColumn(
+            "nodata_zone", F.coalesce(F.col("_nz"), F.lit(False))
+        ).drop("_nz")
+    else:
+        nx0, ny0, nx1, ny1 = nodata_rect
+        uniq = uniq.withColumn(
+            "nodata_zone",
+            (F.col("x") >= nx0) & (F.col("x") < nx1)
+            & (F.col("y") >= ny0) & (F.col("y") < ny1),
+        )
 
     matches = pip_join_rect(
         uniq, layers, res=res, how="inner", point_id="xy_id", salt=salt, hot=hot
@@ -243,7 +267,7 @@ def _final_samples_nodedup(
 def run_noise_join(
     edges: DataFrame,
     layers: DataFrame,
-    nodata_rect: tuple[float, float, float, float],
+    nodata_rect: tuple[float, float, float, float] | None,
     res: int = 7,
     ring_radius: float = 7.0,
     ring_count: int = 20,
@@ -251,6 +275,8 @@ def run_noise_join(
     hot: DataFrame | None = None,
     extent_rect: tuple[float, float, float, float] | None = None,
     dedup_xy: bool = True,
+    nodata_polys: DataFrame | None = None,
+    nodata_res: int = 4,
 ) -> DataFrame:
     """Full flagship: → edge_noises(edge_id, noises map, noise_source,
     noise_sources map).
@@ -265,9 +291,11 @@ def run_noise_join(
     would need a segment-inside test — endpoint membership is then
     necessary but not sufficient; compose ring_boundary_intersects_rect
     / pip refinement for that case.)"""
+    if nodata_polys is not None and not dedup_xy:
+        raise ValueError("nodata_polys requires the dedup_xy=True strategy")
     final = noise_final_samples(
         edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot,
-        dedup_xy=dedup_xy,
+        dedup_xy=dedup_xy, nodata_polys=nodata_polys, nodata_res=nodata_res,
     )
     # SLIM all-numeric projection into the fused single-pass edge
     # aggregate: ONE exchange for the entire tail (the old 2-pass +

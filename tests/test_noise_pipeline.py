@@ -281,3 +281,60 @@ def test_interpolate_missing_quantile(spark):
     assert out.hel_road == 50.0
     assert out.hel_train is None
     assert out.hel_tram is None
+
+
+def test_nodata_polygon_with_hole(spark, edges, layers):
+    """General-geometry nodata zone: a donut nodata polygon must flag
+    sample locations in the ring but NOT in the hole — compared
+    row-for-row against the independent rect decomposition (outer
+    minus hole = two non-overlapping rect strips... expressed as the
+    exact predicate)."""
+    import numpy as np
+
+    from hope_graph_builder_spark.pipelines.noise_join import noise_final_samples
+    from hope_graph_builder_spark.spatial.wkb import polygon_to_wkb_rings
+
+    outer = np.array([[30000.0, 0.0], [60000.0, 0.0], [60000.0, 131072.0],
+                      [30000.0, 131072.0], [30000.0, 0.0]])
+    hole = np.array([[40000.0, 30000.0], [50000.0, 30000.0], [50000.0, 90000.0],
+                     [40000.0, 90000.0], [40000.0, 30000.0]])
+    donut = spark.createDataFrame(
+        [(0, bytearray(polygon_to_wkb_rings([outer, hole])),
+          30000.0, 0.0, 60000.0, 131072.0)],
+        "poly_id long, geom binary, minx double, miny double, maxx double, maxy double",
+    )
+    out = noise_final_samples(edges, layers, None, res=7, nodata_polys=donut)
+
+    # independent predicate: in outer (half-open) and NOT in hole
+    from pyspark.sql import functions as F
+
+    x = (F.floor(F.col("xy_id") / 10_000_000) / 10.0)
+    y = (F.pmod(F.col("xy_id"), 10_000_000) / 10.0)
+    in_outer = (x >= 30000.0) & (x < 60000.0) & (y >= 0.0) & (y < 131072.0)
+    in_hole = (x >= 40000.0) & (x < 50000.0) & (y >= 30000.0) & (y < 90000.0)
+    expected_nodata = in_outer & ~in_hole
+
+    # nodata_zone isn't in the output — recompute the observable effect:
+    # a sample is interpolated (kNN branch) only when nodata & unmatched;
+    # instead re-run noise_final_samples with the equivalent rect pair is
+    # impossible (donut isn't a rect), so assert on the internal flag by
+    # rebuilding the unique-point stage directly
+    from hope_graph_builder_spark.operators.sampling import sample_edges, with_xy_id
+    from hope_graph_builder_spark.operators.spatial_join import pip_join_wkb
+    from hope_graph_builder_spark.pipelines.noise_join import unique_points
+
+    uniq = unique_points(with_xy_id(sample_edges(edges)))
+    flags = (
+        pip_join_wkb(uniq.select("xy_id", "x", "y"), donut, res=4, point_id="xy_id")
+        .select("xy_id").distinct().withColumn("_nz", F.lit(True))
+    )
+    got = uniq.join(flags, "xy_id", "left").select(
+        "xy_id", F.coalesce("_nz", F.lit(False)).alias("got"),
+        expected_nodata.alias("want"),
+    )
+    assert got.filter(F.col("got") != F.col("want")).count() == 0
+    # both flagged and hole-exempt locations genuinely occur
+    assert got.filter(F.col("got")).count() > 0
+    assert got.filter(in_hole & ~F.col("got")).count() > 0
+    # and the full pipeline runs end-to-end with the donut nodata
+    assert out.count() > 0
