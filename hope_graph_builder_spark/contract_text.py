@@ -626,3 +626,63 @@ def q_extract_text(spark, sf_dir):
         (F.col("extracted_text") == F.col("text")).alias("byte_identical"),
         F.md5(F.encode(F.col("extracted_text"), "UTF-8")).alias("text_md5"),
     )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"{_SQL_VDOT.format(a=a, b=b)}"
+        f" / (sqrt({_SQL_VDOT.format(a=a, b=a)})"
+        f" * sqrt({_SQL_VDOT.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "e_ann_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings),
+    cen AS (SELECT vec_id AS list_id, embedding AS cen FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT cand_id, cv, list_id FROM (
+        SELECT c.vec_id AS cand_id, c.embedding AS cv, cen.list_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_sql_cos('c.embedding', 'cen.cen')} DESC, cen.list_id
+               ) AS arnk
+        FROM c, cen
+      ) WHERE arnk = 1
+    ),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 29 = 0),
+    probes AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, cen.list_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_cos('q.embedding', 'cen.cen')} DESC, cen.list_id
+               ) AS qrnk
+        FROM q, cen
+      ) WHERE qrnk <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.cand_id, {_sql_cos('p.qv', 'a.cv')} AS cos
+      FROM assigned a JOIN probes p USING (list_id)
+      WHERE p.query_id != a.cand_id
+    )
+    SELECT query_id, cand_id, round_even(cos, 9) AS cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-routed ANN (similarity.ivf_topk): nlist=8 deterministic
+    anchor centroids, nprobe=2 — the cluster-routing scale path
+    complementing the LSH family. The oracle replays assignment,
+    probing and in-list exact scoring with the identical fold-order
+    dot products, so routing AND scores must match exactly."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") % 29 == 0), k=5, nlist=8, nprobe=2
+    )
+    return out.select(
+        "query_id", "cand_id", F.bround("cos", 9).alias("cos"), F.col("rank").alias("rnk")
+    )

@@ -194,3 +194,63 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN — the cluster-routed scale path (complement of the
+    LSH family): vectors are assigned once to their nearest of
+    ``nlist`` coarse centroids (inverted lists), queries probe their
+    ``nprobe`` closest lists, exact cosine runs only inside probed
+    lists → candidate work ≈ N·nprobe/nlist per query.
+
+    Centroids are deterministic anchors (the first ``nlist`` corpus
+    vectors) instead of k-means iterations: the ROUTING/plan shape —
+    broadcast centroid table, one narrow assignment pass, equi-join on
+    list id, per-query top-k window — is exactly the production IVF
+    shape; swapping in trained centroids changes only the tiny
+    broadcast table. At 100 TB: nlist ~ sqrt(N), lists co-partitioned
+    by list_id so each probe is a partition-local scan."""
+    cen = corpus.filter(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("list_id"), _as_double(F.col(vec_col)).alias("cen")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    wa = Window.partitionBy("cand_id").orderBy(F.desc("acos"), F.asc("list_id"))
+    assigned = (
+        c.crossJoin(F.broadcast(cen))
+        .withColumn("acos", cosine(F.col("cv"), F.col("cen")))
+        .withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") == 1)
+        .select("cand_id", "cv", "list_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .withColumn("qcos", cosine(F.col("qv"), F.col("cen")))
+        .withColumn("qrnk", F.row_number().over(wq))
+        .filter(F.col("qrnk") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
