@@ -686,3 +686,56 @@ def q_ann_ivf_topk(spark, sf_dir):
     return out.select(
         "query_id", "cand_id", F.bround("cos", 9).alias("cos"), F.col("rank").alias("rnk")
     )
+
+
+_SQL_EMB_D = "list_transform({v}, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "e_embed_neardup",
+    f"""
+    WITH base AS (SELECT vec_id, {_SQL_EMB_D.format(v='embedding')} AS v FROM embeddings),
+    dup AS (
+      SELECT vec_id + 100000 AS vec_id,
+             list_concat([v[1] + CAST(0.001 AS DOUBLE)], v[2:]) AS v
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    e AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+    b0 AS (SELECT vec_id, 0 AS tbl, {_sql_lsh_bucket('v', 0)} AS bucket FROM e),
+    b1 AS (SELECT vec_id, 1 AS tbl,
+           {{B1}} AS bucket FROM e),
+    bk AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM bk x JOIN bk y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    scored AS (
+      SELECT cand.a, cand.b,
+             {_SQL_VDOT.format(a='ea.v', b='eb.v')}
+             / (sqrt({_SQL_VDOT.format(a='ea.v', b='ea.v')})
+                * sqrt({_SQL_VDOT.format(a='eb.v', b='eb.v')})) AS cos
+      FROM cand JOIN e ea ON ea.vec_id = cand.a JOIN e eb ON eb.vec_id = cand.b
+    )
+    SELECT a, b, round_even(cos, 9) AS cos FROM scored WHERE cos >= 0.99
+    """.replace("{B1}", _sql_lsh_bucket('v', similarity.PLANE_STRIDE)),
+)
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup (similarity.embedding_neardup):
+    LSH-candidates → exact-cosine-verify, exercised on a corpus
+    augmented with deterministic perturbed duplicates (vec_id+100000,
+    first component +0.001 → cos ≈ 0.9999) so the ≥0.99 threshold has
+    real matches. The oracle mirrors augmentation, BOTH LSH tables and
+    the verify with identical fold-order arithmetic."""
+    emb = _emb(spark, sf_dir)
+    base = emb.select("vec_id", similarity._as_double(F.col("embedding")).alias("v"))
+    dup = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.001)),
+            F.slice("v", 2, similarity.DIM - 1),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(dup)
+    out = similarity.embedding_neardup(corpus, threshold=0.99, tables=2, vec_col="v")
+    return out.select("a", "b", F.bround("cos", 9).alias("cos"))

@@ -254,3 +254,44 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    tables: int = 2,
+    bits: int = LSH_BITS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine NEAR-DUP pairs — the dedup form of ANN (task
+    brief: 'embedding-cosine near-dup'): multi-table sign-LSH candidate
+    generation (linear), pair-dedup across tables BEFORE vectors
+    re-attach, exact cosine ≥ threshold only on candidates. Same scale
+    shape as d_lsh_jaccard_verify: no all-pairs stage anywhere; at
+    100 TB raise bits/tables to bound per-bucket candidates."""
+    v = _as_double(F.col(vec_col))
+    bk = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.explode(sign_lsh_table_buckets(v, tables, bits, dim)).alias("tb"),
+    ).select("vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    x, y = bk.alias("x"), bk.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"))
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("a"), _as_double(F.col(vec_col)).alias("av"))
+    vb = corpus.select(F.col(id_col).alias("b"), _as_double(F.col(vec_col)).alias("bv"))
+    return (
+        pairs.join(va, "a").join(vb, "b")
+        .withColumn("cos", cosine(F.col("av"), F.col("bv")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
