@@ -25,7 +25,9 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     px = px[:, None]
     py = py[:, None]
     cond = (y0 > py) != (y1 > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        # near-horizontal segments overflow xint to ±inf — the px < xint
+        # comparison then resolves the crossing correctly either way
         xint = x0 + (py - y0) * (x1 - x0) / np.where(y1 != y0, y1 - y0, 1.0)
     crossings = cond & (px < xint)
     return (crossings.sum(axis=1) % 2).astype(bool)
