@@ -739,3 +739,51 @@ def q_embed_neardup(spark, sf_dir):
     corpus = base.unionByName(dup)
     out = similarity.embedding_neardup(corpus, threshold=0.99, tables=2, vec_col="v")
     return out.select("a", "b", F.bround("cos", 9).alias("cos"))
+
+
+@register(
+    "t_lang_id_ngram",
+    """
+    WITH d AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+    tri AS (
+      SELECT doc_id, lang, unnest(
+        CASE WHEN length(s) >= 3
+             THEN list_transform(range(1, length(s) - 1), i -> substr(s, CAST(i AS INT), 3))
+             ELSE [] END) AS tri
+      FROM d
+    ),
+    cnt AS (SELECT lang AS plang, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+    prof AS (
+      SELECT plang, tri FROM (
+        SELECT *, row_number() OVER (PARTITION BY plang ORDER BY c DESC, tri) AS rn
+        FROM cnt
+      ) WHERE rn <= 20
+    ),
+    hits AS (
+      SELECT t.doc_id, p.plang, count(*) AS hc
+      FROM tri t JOIN prof p USING (tri) GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, plang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hc DESC, plang) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, coalesce(pred.plang, 'und') AS predicted,
+           coalesce(pred.plang, 'und') = d.lang AS is_correct
+    FROM d LEFT JOIN pred USING (doc_id)
+    """,
+)
+def q_lang_id_ngram(spark, sf_dir):
+    """Character-trigram language ID (Cavnar-Trenkle-shaped): profiles
+    self-trained from the labeled corpus (top-20 trigrams per lang,
+    deterministic tie-breaks), classification by profile-hit argmax.
+    The oracle replays training AND classification, so profile
+    contents, hit counts and tie-breaks must all match. (is_correct is
+    reported but NOT meaningful on this fixture: the synthetic corpus
+    draws text from one shared vocabulary regardless of the lang
+    label, so no classifier can beat chance here — the operator's
+    mechanics, not fixture accuracy, are what is verified.)"""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    profiles = text.train_lang_profiles(docs, top_n=20)
+    return text.lang_id_ngram(docs, profiles)

@@ -120,3 +120,60 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda h, g: (h * F.lit(ROLL_B) + g) % F.lit(ROLL_P),
     )
+
+
+def char_trigrams(text: Column) -> Column:
+    """All character trigrams of lower(text) — native transform over an
+    index sequence (guarded: <3-char strings yield an empty array, not
+    a descending sequence)."""
+    s = F.lower(text)
+    seq = F.sequence(F.lit(1), F.length(s) - 2)
+    tris = F.transform(seq, lambda i: F.substring(s, i, F.lit(3)))
+    return F.when(F.length(s) >= 3, tris).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def train_lang_profiles(docs: DataFrame, top_n: int = 20,
+                        text: str = "text", lang: str = "lang") -> DataFrame:
+    """Character-n-gram language profiles (the classic Cavnar-Trenkle
+    shape): top-N most frequent trigrams per language, deterministic
+    tie-break on the trigram itself. Self-trained from the labeled
+    corpus; at 100 TB train on a sample — the profile table stays tiny
+    (langs × N rows) and broadcasts."""
+    from pyspark.sql.window import Window
+
+    tri = docs.select(F.col(lang).alias("plang"),
+                      F.explode(char_trigrams(F.col(text))).alias("tri"))
+    cnt = tri.groupBy("plang", "tri").count()
+    w = Window.partitionBy("plang").orderBy(F.desc("count"), F.asc("tri"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("plang", "tri")
+    )
+
+
+def lang_id_ngram(docs: DataFrame, profiles: DataFrame,
+                  text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram language ID: per document, count profile-trigram hits per
+    language, argmax with deterministic tie-break (lang asc); documents
+    with no hits → 'und'. One explode + one broadcast join + one
+    groupBy — linear at any corpus size."""
+    from pyspark.sql.window import Window
+
+    tri = docs.select(id_col, F.explode(char_trigrams(F.col(text))).alias("tri"))
+    hits = tri.join(F.broadcast(profiles), "tri").groupBy(id_col, "plang").agg(
+        F.count("*").alias("hc")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("hc"), F.asc("plang"))
+    pred = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("plang").alias("predicted"))
+    )
+    return docs.select(id_col, "lang").join(pred, id_col, "left").select(
+        id_col,
+        F.coalesce("predicted", F.lit("und")).alias("predicted"),
+        (F.coalesce("predicted", F.lit("und")) == F.col("lang")).alias("is_correct"),
+    )
