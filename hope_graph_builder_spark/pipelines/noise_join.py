@@ -155,7 +155,27 @@ def noise_final_samples(
 
     normal = aggregate_noise_values(pts.filter(~F.col("missing_noises"))).select(*SAMPLE_COLS)
 
-    miss = pts.filter(F.col("missing_noises")).select("xy_id", "x", "y")
+    # Miss-branch input: missing ⇒ nodata_zone, so the second pass over
+    # the unpersisted pts lineage filters the (tiny) nodata strip BEFORE
+    # the PIP — a full-corpus PIP+pivot recompute becomes a strip-only
+    # one. pts.filter(missing) can't push this itself: the no_noise
+    # predicate needs the pivot's output. Identical rows by
+    # construction (oracle-pinned by the flagship queries). With the
+    # subtree persisted, reading the cache is cheaper than any
+    # recompute — then filter pts directly.
+    if os.environ.get("HGBS_PERSIST"):
+        miss = pts.filter(F.col("missing_noises")).select("xy_id", "x", "y")
+    else:
+        nod = uniq.filter(F.col("nodata_zone"))
+        nod_matches = pip_join_rect(
+            nod, layers, res=res, how="inner", point_id="xy_id", salt=salt, hot=hot
+        ).select("xy_id", "layer", "db")
+        nod_pts = nod.join(pivot_layer_max(nod_matches, "xy_id"), "xy_id", "left")
+        nod_no_noise = None
+        for c in LAYER_NAMES:
+            cond = F.col(c).isNull()
+            nod_no_noise = cond if nod_no_noise is None else (nod_no_noise & cond)
+        miss = nod_pts.filter(nod_no_noise).select("xy_id", "x", "y")
     rings = ring_points(miss, radius=ring_radius, count=ring_count, keep=["xy_id"], index_col="ring_i")
     ring_matches = pip_join_rect(
         rings, layers, res=res, how="inner", point_id="xy_id", salt=salt, hot=hot
