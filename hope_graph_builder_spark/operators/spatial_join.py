@@ -50,6 +50,25 @@ def with_cover_cells(
     )
 
 
+def split_by_cover_size(
+    polys: DataFrame, res: int, max_cells: int = 4096
+) -> tuple[DataFrame, DataFrame]:
+    """Operability valve for the polygon side: geometries whose bbox
+    cover at ``res`` would explode past ``max_cells`` (a metro-wide
+    boundary at a street-scale res covers millions of cells — measured
+    in this repo's own gpkg test before the guard) are split off so the
+    pipeline can route them to a coarser res or a broadcast refine
+    instead of freezing the cover explode. Native arithmetic on the
+    bbox columns; zero-cost when nothing is oversized."""
+    from hope_graph_builder_spark.spatial import cells as cellsmod
+
+    s = F.lit(cellsmod.cell_size(res))
+    nx = F.floor(F.col("maxx") / s) - F.floor(F.col("minx") / s) + 1
+    ny = F.floor(F.col("maxy") / s) - F.floor(F.col("miny") / s) + 1
+    n = nx * ny
+    return polys.filter(n <= max_cells), polys.filter(n > max_cells)
+
+
 def hot_cell_factors(
     points_with_cell: DataFrame, threshold: int, max_factor: int = 32
 ) -> DataFrame:

@@ -91,3 +91,17 @@ def test_nodata_layer_drives_real_pip(spark):
     for (i, _, _), exp in zip(probes[:-2], expected_in):
         assert (i in matched) == bool(exp)
     assert any(expected_in)  # the probe set genuinely exercises matches
+
+
+def test_cover_size_valve_routes_metro_polygon(spark):
+    """The municipal boundary at street-scale res would cover millions
+    of cells; split_by_cover_size must route it to the oversized side
+    at res 12 and keep it at the coarse res the PIP test uses."""
+    from hope_graph_builder_spark.operators.spatial_join import split_by_cover_size
+    from hope_graph_builder_spark.sources.gpkg import read_gpkg_layer
+
+    nod = read_gpkg_layer(spark, GPKG, "municipal_boundaries")
+    ok12, over12 = split_by_cover_size(nod, res=12)
+    assert ok12.count() == 0 and over12.count() == 1
+    ok6, over6 = split_by_cover_size(nod, res=6)
+    assert ok6.count() == 1 and over6.count() == 0
