@@ -22,6 +22,7 @@ the two just re-processes those partitions on resume.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,3 +124,19 @@ def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
     return spark.read.parquet(f"{root}/data/{stage}").join(
         F.broadcast(done), "tile_group", "left_semi"
     )
+
+
+def debug_sink(df, path: str, sample_rows: int | None = None) -> None:
+    """S5 debug sink (reference exports intermediate GeoDataFrames to
+    debug GeoPackages when b_export_*_gpkg flags are set,
+    otp_graph_import.py:58-64, 180-194): tap any intermediate
+    DataFrame to parquet plus a sidecar schema.json, optionally
+    sampled. Sampling uses LIMIT (deterministic enough for debugging;
+    a tap must never add a full shuffle to the traced plan)."""
+    import json as _json
+
+    out = df.limit(sample_rows) if sample_rows else df
+    out.write.mode("overwrite").parquet(path)
+    schema_path = os.path.join(path, "_schema.json")
+    with open(schema_path, "w") as f:
+        f.write(_json.dumps(_json.loads(out.schema.json()), indent=1))

@@ -71,3 +71,19 @@ def test_rerun_noop(spark, tmpdir):
     stats = run_stage(spark, pts, "pts", tmpdir)
     assert stats["groups_written"] == 0
     assert read_stage(spark, tmpdir, "pts").count() == pts.count()
+
+
+def test_debug_sink_tap(spark, tmp_path):
+    """S5: the tap writes parquet + a sidecar schema.json and respects
+    sampling."""
+    import json
+    import os
+
+    from hope_graph_builder_spark.checkpoint.manifest import debug_sink
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    out = str(tmp_path / "tap")
+    debug_sink(df, out, sample_rows=10)
+    assert spark.read.parquet(out).count() == 10
+    sch = json.load(open(os.path.join(out, "_schema.json")))
+    assert sch["fields"][0]["name"] == "v"
