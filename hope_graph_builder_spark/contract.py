@@ -75,19 +75,51 @@ def _last_green_round() -> dict[str, int]:
     return seen
 
 
+def _fingerprint(name: str) -> str:
+    """Content identity of a query: oracle SQL + implementation source.
+    A query whose fingerprint no longer matches the one recorded at its
+    last in-window verification is treated as NEVER VERIFIED — edits to
+    a demoted query cannot hide behind its old green result."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(_QUERIES[name])
+    except (OSError, TypeError):
+        src = name
+    return hashlib.md5((_ORACLES.get(name, "") + src).encode()).hexdigest()[:16]
+
+
+def _recorded_fingerprints() -> dict[str, str]:
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parents[1] / "contract_fingerprints.json"
+    try:
+        return json.loads(p.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
 def queries() -> dict[str, QueryFn]:
     """All registered queries, ordered LEAST-RECENTLY-DRIVER-VERIFIED
     first. The external gate records the first 50 entries; with more
     than 50 registered queries this round-robin guarantees every query
     re-enters the externally-verified window within
-    ceil(total/50) rounds — never-verified and regressed queries sort
-    to the very front. Selection is mechanical (derived from the
-    committed CORRECTNESS_r*.json files), not discretionary; ALL
+    ceil(total/50) rounds — never-verified, regressed and EDITED
+    queries (fingerprint mismatch vs contract_fingerprints.json, the
+    state recorded when they were last in-window) sort to the very
+    front. Selection is mechanical (derived from the committed
+    CORRECTNESS_r*.json files + fingerprints), not discretionary; ALL
     queries are additionally verified locally every round via
     tools/check_contract.py. Policy documented in COVERAGE.md."""
     names = list(_QUERIES)
     try:
         seen = _last_green_round()
+        recorded = _recorded_fingerprints()
+        for n in names:
+            if recorded and recorded.get(n) != _fingerprint(n):
+                seen[n] = 0
     except Exception:
         seen = {}
     order = sorted(range(len(names)), key=lambda i: (seen.get(names[i], 0), i))
