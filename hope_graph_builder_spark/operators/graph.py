@@ -44,6 +44,7 @@ def connected_components(
     )
     sym = sym.localCheckpoint()
     labels = labels.localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym.b == labels.id, "inner")
@@ -65,6 +66,14 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        # silent non-convergence would return WRONG components — fail
+        # loudly instead (the label front advances one hop per round, so
+        # max_iter must cover the graph diameter)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (needs >= graph diameter)"
+        )
     return labels
 
 
@@ -81,6 +90,7 @@ def _directed_min_reach(edges: DataFrame, reverse: bool, max_iter: int) -> DataF
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         pushed = (
             rel.join(labels, rel.a == labels.id, "inner")
@@ -96,6 +106,11 @@ def _directed_min_reach(edges: DataFrame, reverse: bool, max_iter: int) -> DataF
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"min-reach propagation did not converge in {max_iter} rounds; "
+            "raise max_iter (needs >= directed reach depth)"
+        )
     return labels
 
 

@@ -82,3 +82,20 @@ def test_scc_cases(spark):
             ).collect()
         }
         assert got == _tarjan(pairs), pairs
+
+
+def test_nonconvergence_fails_loudly(spark):
+    """A path graph longer than max_iter must RAISE, not return wrong
+    components silently."""
+    import pytest as _pytest
+
+    from hope_graph_builder_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=3)
+    # and converges fine with enough rounds
+    cc = connected_components(edges, max_iter=20)
+    assert cc.select("component").distinct().count() == 1
