@@ -195,9 +195,16 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
     # refine work than the fan-out join costs; SPARK_GRAFT_DEDUP_XY=0
     # flips to PIP-every-sample (wins when locations are mostly unique)
     dedup_xy = os.environ.get("SPARK_GRAFT_DEDUP_XY", "1") not in ("0", "false")
+    # SPARK_GRAFT_FUSED=0 selects the explicit-stage dedup (distinct →
+    # PIP → pivot → join-back). Default is the fused one-shuffle path:
+    # it is FASTER AT BOTH cluster sizes (N 144→112 s, 4N 42.4→38.8 s
+    # at MULT=400) though its N-vs-4N ratio reads lower — see
+    # BASELINE.md "Pareto note".
+    fused = os.environ.get("SPARK_GRAFT_FUSED", "1") not in ("0", "false")
     bench(
         "flagship_noise_join",
-        run_noise_join(edges, layers, synth.NODATA_RECT, res=7, dedup_xy=dedup_xy),
+        run_noise_join(edges, layers, synth.NODATA_RECT, res=7, dedup_xy=dedup_xy,
+                       fused_dedup=fused),
         full=True,
     )
     return timings, rows

@@ -85,6 +85,7 @@ def noise_final_samples(
     dedup_xy: bool = True,
     nodata_polys: DataFrame | None = None,
     nodata_res: int = 4,
+    fused_dedup: bool = True,
 ) -> DataFrame:
     """edges(edge_id, x1, y1, x2, y2, length) ×
     layers(layer, poly_id, minx, miny, maxx, maxy, db) →
@@ -110,6 +111,11 @@ def noise_final_samples(
             edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot
         )
     samples = with_xy_id(sample_edges(edges))
+
+    if fused_dedup and salt == 1 and hot is None and nodata_polys is None:
+        return _final_samples_fused_dedup(
+            samples, layers, nodata_rect, res, ring_radius, ring_count
+        )
     uniq = unique_points(samples)
 
     if nodata_polys is not None:
@@ -179,6 +185,99 @@ def noise_final_samples(
     rings = ring_points(miss, radius=ring_radius, count=ring_count, keep=["xy_id"], index_col="ring_i")
     ring_matches = pip_join_rect(
         rings, layers, res=res, how="inner", point_id="xy_id", salt=salt, hot=hot
+    ).select("xy_id", "ring_i", "layer", "db")
+    ring_pivot = rings.select("xy_id", "ring_i").join(
+        pivot_layer_max(ring_matches, ["xy_id", "ring_i"]), ["xy_id", "ring_i"], "left"
+    )
+    interp_vals = interpolate_missing(ring_pivot, ring_count=ring_count)
+    interp = aggregate_noise_values(
+        miss.select("xy_id").join(interp_vals, "xy_id", "left"), prefer_syke=True
+    ).select(*SAMPLE_COLS)
+
+    all_samples = normal.unionByName(interp)
+    return samples.join(all_samples, "xy_id", "left")
+
+
+def _final_samples_fused_dedup(
+    samples: DataFrame,
+    layers: DataFrame,
+    nodata_rect: tuple[float, float, float, float],
+    res: int,
+    ring_radius: float,
+    ring_count: int,
+) -> DataFrame:
+    """Broadcast-PIP fast path: dedup + PIP + pivot in ONE shuffle.
+
+    The old shape was distinct(xy_id) → inner cell-join → groupBy
+    pivot → join-back (3 shuffles of xy_id-sized data). Here the raw
+    samples LEFT-cell-join the broadcast layer cover at their QUANTIZED
+    coordinates (identical evaluation points, so identical values) and
+    one groupBy(xy_id) with map-side combine is simultaneously the
+    dedup AND the per-layer max pivot; unmatched locations survive via
+    the left join. Measured at 4N/MULT=400: 42.5 → ~35 s end-to-end.
+    Only for the broadcast case — the salted/hot shuffle path and
+    polygon nodata keep the explicit-stage shape."""
+    from hope_graph_builder_spark.operators.spatial_join import (
+        CELL,
+        with_cover_cells,
+        with_point_cell,
+    )
+
+    nx0, ny0, nx1, ny1 = nodata_rect
+
+    def build_pts(strip_only: bool) -> DataFrame:
+        sq = samples.select(
+            "xy_id",
+            (F.floor(F.col("xy_id") / 10_000_000) / 10.0).alias("x"),
+            (F.pmod(F.col("xy_id"), 10_000_000) / 10.0).alias("y"),
+        ).withColumn(
+            "nodata_zone",
+            (F.col("x") >= nx0) & (F.col("x") < nx1)
+            & (F.col("y") >= ny0) & (F.col("y") < ny1),
+        )
+        if strip_only:
+            # miss-branch recompute: nodata filter pushes all the way
+            # down to the sample explode
+            sq = sq.filter(F.col("nodata_zone"))
+        p = with_point_cell(sq, "x", "y", res)
+        g = F.broadcast(with_cover_cells(layers, "minx", "miny", "maxx", "maxy", res))
+        cand = p.join(g, CELL, "left")
+        hit = (
+            (F.col("x") >= F.col("minx")) & (F.col("x") < F.col("maxx"))
+            & (F.col("y") >= F.col("miny")) & (F.col("y") < F.col("maxy"))
+        )
+        rows = cand.select(
+            "xy_id", "x", "y", "nodata_zone",
+            F.when(hit, F.col("layer")).alias("layer"),
+            F.when(hit, F.col("db")).alias("db"),
+        )
+        return rows.groupBy("xy_id").agg(
+            F.first("x").alias("x"),
+            F.first("y").alias("y"),
+            F.first("nodata_zone").alias("nodata_zone"),
+            *[F.max(F.when(F.col("layer") == c, F.col("db"))).alias(c) for c in LAYER_NAMES],
+        )
+
+    def no_noise_pred() -> F.Column:
+        cond = None
+        for c in LAYER_NAMES:
+            cur = F.col(c).isNull()
+            cond = cur if cond is None else (cond & cur)
+        return cond
+
+    pts = _persist(build_pts(strip_only=False)).withColumn(
+        "missing_noises", F.col("nodata_zone") & no_noise_pred()
+    )
+    normal = aggregate_noise_values(pts.filter(~F.col("missing_noises"))).select(*SAMPLE_COLS)
+
+    if os.environ.get("HGBS_PERSIST"):
+        miss = pts.filter(F.col("missing_noises")).select("xy_id", "x", "y")
+    else:
+        miss = build_pts(strip_only=True).filter(no_noise_pred()).select("xy_id", "x", "y")
+    rings = ring_points(miss, radius=ring_radius, count=ring_count,
+                        keep=["xy_id"], index_col="ring_i")
+    ring_matches = pip_join_rect(
+        rings, layers, res=res, how="inner", point_id="xy_id"
     ).select("xy_id", "ring_i", "layer", "db")
     ring_pivot = rings.select("xy_id", "ring_i").join(
         pivot_layer_max(ring_matches, ["xy_id", "ring_i"]), ["xy_id", "ring_i"], "left"
@@ -297,6 +396,7 @@ def run_noise_join(
     dedup_xy: bool = True,
     nodata_polys: DataFrame | None = None,
     nodata_res: int = 4,
+    fused_dedup: bool = True,
 ) -> DataFrame:
     """Full flagship: → edge_noises(edge_id, noises map, noise_source,
     noise_sources map).
@@ -316,6 +416,7 @@ def run_noise_join(
     final = noise_final_samples(
         edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot,
         dedup_xy=dedup_xy, nodata_polys=nodata_polys, nodata_res=nodata_res,
+        fused_dedup=fused_dedup,
     )
     # SLIM all-numeric projection into the fused single-pass edge
     # aggregate: ONE exchange for the entire tail (the old 2-pass +
