@@ -338,3 +338,23 @@ def test_nodata_polygon_with_hole(spark, edges, layers):
     assert got.filter(in_hole & ~F.col("got")).count() > 0
     # and the full pipeline runs end-to-end with the donut nodata
     assert out.count() > 0
+
+
+def test_fused_and_explicit_dedup_identical(spark, edges, layers):
+    """The fused one-shuffle dedup+PIP+pivot must be row-identical to
+    the explicit distinct→PIP→pivot→join-back shape (both also
+    oracle-pinned; this locks the equivalence engine-side)."""
+    a = run_noise_join(edges, layers, synth.NODATA_RECT, res=9, fused_dedup=True)
+    b = run_noise_join(edges, layers, synth.NODATA_RECT, res=9, fused_dedup=False)
+
+    def canon(df):
+        return df.select(
+            "edge_id",
+            F.to_json(F.map_entries("noises")).alias("noises"),
+            "noise_source",
+            F.to_json(F.map_entries("noise_sources")).alias("noise_sources"),
+        )
+
+    x, y = canon(a), canon(b)
+    assert x.exceptAll(y).count() == 0
+    assert y.exceptAll(x).count() == 0
