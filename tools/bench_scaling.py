@@ -61,6 +61,14 @@ def main() -> None:
         thr_lo = rows / t_lo if t_lo else 0.0
         thr_hi = rows / t_hi if t_hi else 0.0
         eff = (thr_hi / thr_lo) / 4.0 if thr_lo else 0.0
+        per_rep = [
+            {
+                "sec_n": a["queries"][q],
+                "sec_4n": b["queries"][q],
+                "efficiency": round(a["queries"][q] / b["queries"][q] / 4.0, 3),
+            }
+            for a, b in zip(runs[lo], runs[hi])
+        ]
         report["queries"][q] = {
             "rows": rows,
             "sec_n": round(t_lo, 3),
@@ -68,6 +76,10 @@ def main() -> None:
             "rows_per_sec_n": round(thr_lo, 1),
             "rows_per_sec_4n": round(thr_hi, 1),
             "scaling_efficiency": round(eff, 3),
+            "per_rep": per_rep,
+            "median_per_rep_efficiency": round(
+                statistics.median(p["efficiency"] for p in per_rep), 3
+            ),
         }
     print(json.dumps(report))
 
