@@ -105,3 +105,21 @@ def test_f16_distinct_before_global_window(spark):
     # means distinct runs underneath (earlier stage) — the window input
     # is already deduplicated
     assert single < agg, plan[:2000]
+
+
+def test_status_store_stage_metrics_accessible(spark):
+    """tools/shuffle_audit.py reads shuffle bytes from the
+    AppStatusStore via a versioned py4j signature — pin that the
+    5-arg stageList call keeps working with the UI disabled, so the
+    perf-evidence tool doesn't rot silently."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from shuffle_audit import stage_totals
+
+    before = stage_totals(spark)
+    spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    after = stage_totals(spark)
+    assert after["stages"] > before["stages"]
+    assert after["shuffle_write_bytes"] > before["shuffle_write_bytes"]
+    assert after["executor_run_ms"] >= before["executor_run_ms"]
