@@ -11,10 +11,6 @@ from hope_graph_builder_spark.contract import register
 from hope_graph_builder_spark.functions.rowexprs import (
     biking_length,
     geojson_line_feature,
-    mean_noise_level,
-    noise_bucket,
-    noises_with_db40,
-    residual_db40,
 )
 from hope_graph_builder_spark.pipelines.graph_import import (
     build_graph,

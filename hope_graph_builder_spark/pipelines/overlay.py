@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hope_graph_builder_spark.operators.spatial_join import with_cover_cells, with_point_cell, CELL
+from hope_graph_builder_spark.operators.spatial_join import with_cover_cells, CELL
 from hope_graph_builder_spark.spatial import cell_id_expr
 from hope_graph_builder_spark.spatial.kernels import (
     clip_polygon_convex,

@@ -16,7 +16,6 @@ bbox) columns — the exact shape pip_join_wkb consumes.
 from __future__ import annotations
 
 import sqlite3
-import struct
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession

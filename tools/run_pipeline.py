@@ -28,7 +28,6 @@ def main() -> None:
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("hope_graph_builder_spark").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
