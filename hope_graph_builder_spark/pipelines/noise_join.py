@@ -198,6 +198,66 @@ def noise_final_samples(
     return samples.join(all_samples, "xy_id", "left")
 
 
+def location_exposures(
+    samples: DataFrame,
+    layers: DataFrame,
+    res: int,
+    strip: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Location-level exposure table — the fused dedup+PIP+pivot core:
+    raw samples LEFT-cell-join the broadcast layer cover at their
+    QUANTIZED coordinates and ONE groupBy(xy_id) with map-side combine
+    is simultaneously the location dedup AND the per-layer max pivot.
+    Output: (xy_id, <one max-dB column per layer>); unmatched
+    locations survive the left join with all-null layers.
+
+    x / y are pure functions of xy_id, so they are NOT carried through
+    the shuffle as first() buffers — callers re-derive them from xy_id
+    (measured: dropping the derivable columns trims the fused partial
+    rows ~19%, the one place this path out-shuffled the explicit one).
+
+    ``strip`` pre-filters samples to a rect BEFORE the join (the
+    flagship's miss-branch recompute pushes the nodata filter down to
+    the sample explode this way).
+
+    Exactly one aggregation over a stream-static broadcast join — a
+    legal Structured Streaming stage: streaming/noise_stream.py runs
+    this same function over an edge STREAM and the test pins
+    stream == batch equality."""
+    from hope_graph_builder_spark.operators.spatial_join import (
+        CELL,
+        with_cover_cells,
+        with_point_cell,
+    )
+
+    sq = samples.select(
+        "xy_id",
+        (F.floor(F.col("xy_id") / 10_000_000) / 10.0).alias("x"),
+        (F.pmod(F.col("xy_id"), 10_000_000) / 10.0).alias("y"),
+    )
+    if strip is not None:
+        nx0, ny0, nx1, ny1 = strip
+        sq = sq.filter(
+            (F.col("x") >= nx0) & (F.col("x") < nx1)
+            & (F.col("y") >= ny0) & (F.col("y") < ny1)
+        )
+    p = with_point_cell(sq, "x", "y", res)
+    g = F.broadcast(with_cover_cells(layers, "minx", "miny", "maxx", "maxy", res))
+    cand = p.join(g, CELL, "left")
+    hit = (
+        (F.col("x") >= F.col("minx")) & (F.col("x") < F.col("maxx"))
+        & (F.col("y") >= F.col("miny")) & (F.col("y") < F.col("maxy"))
+    )
+    rows = cand.select(
+        "xy_id",
+        F.when(hit, F.col("layer")).alias("layer"),
+        F.when(hit, F.col("db")).alias("db"),
+    )
+    return rows.groupBy("xy_id").agg(
+        *[F.max(F.when(F.col("layer") == c, F.col("db"))).alias(c) for c in LAYER_NAMES],
+    )
+
+
 def _final_samples_fused_dedup(
     samples: DataFrame,
     layers: DataFrame,
@@ -217,48 +277,13 @@ def _final_samples_fused_dedup(
     the left join. Measured at 4N/MULT=400: 42.5 → ~35 s end-to-end.
     Only for the broadcast case — the salted/hot shuffle path and
     polygon nodata keep the explicit-stage shape."""
-    from hope_graph_builder_spark.operators.spatial_join import (
-        CELL,
-        with_cover_cells,
-        with_point_cell,
-    )
-
     nx0, ny0, nx1, ny1 = nodata_rect
 
     def build_pts(strip_only: bool) -> DataFrame:
-        sq = samples.select(
-            "xy_id",
-            (F.floor(F.col("xy_id") / 10_000_000) / 10.0).alias("x"),
-            (F.pmod(F.col("xy_id"), 10_000_000) / 10.0).alias("y"),
-        ).withColumn(
-            "nodata_zone",
-            (F.col("x") >= nx0) & (F.col("x") < nx1)
-            & (F.col("y") >= ny0) & (F.col("y") < ny1),
-        )
-        if strip_only:
-            # miss-branch recompute: nodata filter pushes all the way
-            # down to the sample explode
-            sq = sq.filter(F.col("nodata_zone"))
-        p = with_point_cell(sq, "x", "y", res)
-        g = F.broadcast(with_cover_cells(layers, "minx", "miny", "maxx", "maxy", res))
-        cand = p.join(g, CELL, "left")
-        hit = (
-            (F.col("x") >= F.col("minx")) & (F.col("x") < F.col("maxx"))
-            & (F.col("y") >= F.col("miny")) & (F.col("y") < F.col("maxy"))
-        )
-        rows = cand.select(
-            "xy_id",
-            F.when(hit, F.col("layer")).alias("layer"),
-            F.when(hit, F.col("db")).alias("db"),
-        )
-        # x / y / nodata_zone are pure functions of xy_id — recompute
-        # them AFTER the aggregate instead of carrying three first()
-        # buffers through the shuffle (measured: the fused partial rows
-        # are the one place this path shuffles MORE bytes than the
-        # explicit one; dropping the derivable columns trims the
-        # partial-state width ~19%)
-        agg = rows.groupBy("xy_id").agg(
-            *[F.max(F.when(F.col("layer") == c, F.col("db"))).alias(c) for c in LAYER_NAMES],
+        # miss-branch recompute (strip_only): the nodata filter pushes
+        # all the way down to the sample explode
+        agg = location_exposures(
+            samples, layers, res, strip=nodata_rect if strip_only else None
         )
         x = (F.floor(F.col("xy_id") / 10_000_000) / 10.0)
         y = (F.pmod(F.col("xy_id"), 10_000_000) / 10.0)
