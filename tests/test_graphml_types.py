@@ -96,3 +96,68 @@ def test_round_trip_all_types_through_parquet(typed_edges, spark, tmp_path):
     assert states[0] == (False, False)
     assert states[1] == (False, True)
     assert states[2] == (True, None)
+
+
+def test_graphml_sink_roundtrip_real_fixture(spark, tmp_path):
+    """S7: write_graphml → our own S6 scan reproduces the reference's
+    REAL test_graph.graphml tables exactly (3522 edges incl. dict-repr
+    attribute strings with quotes and braces)."""
+    import os
+
+    from hope_graph_builder_spark.sources.graphml import (
+        read_graphml_edges,
+        read_graphml_nodes,
+    )
+    from hope_graph_builder_spark.sources.graphml_sink import write_graphml
+
+    src = "/root/reference/src/test/data/test_graph.graphml"
+    if not os.path.isfile(src):
+        pytest.skip("reference fixture not present")
+    nodes = read_graphml_nodes(spark, src)
+    edges = read_graphml_edges(spark, src)
+    out = str(tmp_path / "roundtrip.graphml")
+    counts = write_graphml(nodes, edges, out)
+    assert counts["nodes"] == nodes.count() and counts["edges"] == edges.count()
+
+    nodes2 = read_graphml_nodes(spark, out)
+    edges2 = read_graphml_edges(spark, out)
+    assert sorted(nodes2.columns) == sorted(nodes.columns)
+    assert sorted(edges2.columns) == sorted(edges.columns)
+    for a, b in ((nodes, nodes2), (edges, edges2)):
+        a = a.select(*sorted(a.columns))
+        b = b.select(*sorted(a.columns))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_graphml_sink_escaping_and_nulls(spark, tmp_path):
+    """Adversarial values: XML metacharacters, dict-reprs, empty
+    strings, and NULLs (NULL attr → omitted <data> → NULL on re-read;
+    '' → empty element → '' on re-read — distinct states preserved)."""
+    from pyspark.sql import Row
+
+    from hope_graph_builder_spark.sources.graphml import (
+        read_graphml_edges,
+        read_graphml_nodes,
+    )
+    from hope_graph_builder_spark.sources.graphml_sink import write_graphml
+
+    nodes = spark.createDataFrame(
+        [
+            Row(node_id="n<>&\"1", attr="a & b < c > d"),
+            Row(node_id="n2", attr="{'road': 2.5, \"x\": '<&>'}"),
+            Row(node_id="n3", attr=""),
+            Row(node_id="n4", attr=None),
+        ]
+    )
+    edges = spark.createDataFrame(
+        [
+            Row(source="n<>&\"1", target="n2", w="1.5", tag="<tag>&amp;</tag>"),
+            Row(source="n3", target="n4", w=None, tag=""),
+        ]
+    )
+    out = str(tmp_path / "esc.graphml")
+    write_graphml(nodes, edges, out)
+    n2 = read_graphml_nodes(spark, out)
+    e2 = read_graphml_edges(spark, out)
+    assert {tuple(r) for r in n2.collect()} == {tuple(r) for r in nodes.collect()}
+    assert {tuple(r) for r in e2.collect()} == {tuple(r) for r in edges.collect()}
