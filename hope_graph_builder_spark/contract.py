@@ -151,6 +151,25 @@ def q_noise_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_source_rows(_final_samples(spark, sf_dir))
 
 
+@register("location_exposures", oracle.sql_location_exposures())
+def q_location_exposures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused dedup+PIP+pivot core in isolation (pipelines.
+    noise_join.location_exposures) — the exact stage the streaming
+    twin (streaming/noise_stream.py) maintains incrementally.
+    Unmatched locations must survive the left cell-join with all-null
+    layer columns; the oracle's `pts` LEFT JOIN mirrors that."""
+    from hope_graph_builder_spark.operators.noise import LAYER_NAMES
+    from hope_graph_builder_spark.operators.sampling import sample_edges, with_xy_id
+    from hope_graph_builder_spark.pipelines.noise_join import location_exposures
+
+    edges = synth.page_edges(spark, sf_dir)
+    layers = synth.noise_layers(spark)
+    lex = location_exposures(with_xy_id(sample_edges(edges)), layers, res=7)
+    return lex.select(
+        "xy_id", *[F.col(c).cast("long").alias(c) for c in LAYER_NAMES]
+    )
+
+
 @register("noise_main_source", oracle.sql_noise_main_source())
 def q_noise_main_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = _final_samples(spark, sf_dir)

@@ -165,6 +165,18 @@ def flagship_ctes() -> str:
     """
 
 
+def sql_location_exposures() -> str:
+    """(xy_id, per-layer max dB) — twin of pipelines.noise_join.
+    location_exposures, the fused dedup+PIP+pivot stage the streaming
+    module maintains incrementally. `pts` keeps unmatched locations
+    via its LEFT JOIN, mirroring the engine's left cell-join."""
+    cols = ",\n           ".join(f"CAST({c} AS BIGINT) AS {c}" for c in LAYER_NAMES)
+    return f"""
+    WITH {flagship_ctes()}
+    SELECT xy_id, {cols} FROM pts
+    """
+
+
 def sql_noise_exposures() -> str:
     """(edge_id, db, exposure) — flat twin of edge_db_rows."""
     return f"""
