@@ -129,8 +129,13 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
             consume(pip_join_rect(tiny_p, layers, res=7, how="inner",
                                   point_id="doc_id", salt=8, broadcast_polys=False))
         if not only or "pip_join_shuffle_hot" in only:
+            # same threshold formula as the timed run, scaled to the
+            # MULT=1 slice (125), so the warm-up actually finds hot
+            # cells and compiles the salted-explode plan shape — a
+            # threshold no cell reaches would leave that shape cold and
+            # the first timed rep would pay its codegen cost
             hot_t = hot_cell_factors(
-                with_point_cell(tiny_p, "x", "y", 7), threshold=10**9
+                with_point_cell(tiny_p, "x", "y", 7), threshold=125
             ).localCheckpoint()
             consume(pip_join_rect(tiny_p, layers, res=7, how="inner",
                                   point_id="doc_id", hot=hot_t, broadcast_polys=False))

@@ -28,12 +28,17 @@ from pyspark.sql import functions as F
 from hope_graph_builder_spark.operators.spatial_join import with_cover_cells, CELL
 from hope_graph_builder_spark.spatial import cell_id_expr
 from hope_graph_builder_spark.spatial.kernels import (
+    clip_area_rings,
     clip_polygon_convex,
     rect_union_area,
     rect_union_parts,
     shoelace_area,
 )
-from hope_graph_builder_spark.spatial.wkb import polygon_from_wkb, rect_to_wkb
+from hope_graph_builder_spark.spatial.wkb import (
+    multipolygon_from_wkb,
+    polygon_from_wkb,
+    rect_to_wkb,
+)
 
 AREA_Q = 1_000_000.0  # micro-m² quantization for order-free sums
 
@@ -206,4 +211,71 @@ def overlay_share_convex(
         .withColumn("area_q", F.floor(F.col("area") * F.lit(AREA_Q)).cast("long"))
         .groupBy("edge_id", "veg_class")
         .agg(((F.sum("area_q") / F.lit(AREA_Q)) / F.min("buf_area")).alias("share"))
+    )
+
+
+def overlay_share_general(
+    edges: DataFrame, polys: DataFrame, res: int = 8, dist: float = 30.0,
+    geom: str = "geom",
+) -> DataFrame:
+    """GENERAL polygon overlay — concave rings, holes, multiparts: the
+    exact ST_Intersection-area twin for the reference's real land-cover
+    layers (arbitrary multipart polygons fetched at
+    `fetch_land_cover.py:79-94`, intersected with no convexity
+    assumption at `land_cover_overlay_analysis.py:87-143`). Same plan
+    shape as ``overlay_share_convex`` — cell-cover candidates, one
+    canonical-cell codegen filter, one Arrow-batched kernel pass, one
+    groupBy — only the per-pair kernel changes: signed fan
+    decomposition × Sutherland–Hodgman (``clip_area_rings``), so
+    concavity and holes cost O(#vertices) triangles per pair, not a
+    new shuffle.
+
+    Quantization uses round-to-NEAREST micro-m² (not the rect path's
+    floor): the general kernel's Σ-of-triangle float error (~1e-9
+    relative) sits on the wrong side of floor() when the true area is
+    an exact integer, while nearest keeps closed-form-oracle parity."""
+    b = edge_buffer_rect(edges, dist)
+    bc = with_cover_cells(
+        b.select("edge_id", "bminx", "bminy", "bmaxx", "bmaxy", "buf_area"),
+        "bminx", "bminy", "bmaxx", "bmaxy", res,
+    )
+    vc = with_cover_cells(polys, "minx", "miny", "maxx", "maxy", res)
+    canon = cell_id_expr(
+        F.greatest(F.col("bminx"), F.col("minx")),
+        F.greatest(F.col("bminy"), F.col("miny")),
+        res,
+    )
+    cand = (
+        bc.join(vc, CELL, "inner")
+        .filter(F.col(CELL) == canon)
+        .select("edge_id", "veg_class", "poly_id", geom,
+                "bminx", "bminy", "bmaxx", "bmaxy", "buf_area")
+    )
+
+    def clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            areas = np.zeros(len(pdf))
+            for i, (buf, x0, y0, x1, y1) in enumerate(
+                zip(pdf[geom], pdf.bminx, pdf.bminy, pdf.bmaxx, pdf.bmaxy)
+            ):
+                parts = multipolygon_from_wkb(bytes(buf))
+                rect = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+                areas[i] = clip_area_rings(parts, rect)
+            yield pd.DataFrame(
+                {
+                    "edge_id": pdf.edge_id,
+                    "veg_class": pdf.veg_class,
+                    "area": areas,
+                    "buf_area": pdf.buf_area,
+                }
+            )
+
+    inter = cand.mapInPandas(
+        clip, schema="edge_id long, veg_class string, area double, buf_area double"
+    )
+    return (
+        inter.filter(F.col("area") > 0)
+        .withColumn("area_q", F.round(F.col("area") * F.lit(AREA_Q)).cast("long"))
+        .groupBy("edge_id", "veg_class")
+        .agg(((F.sum("area_q").cast("double") / F.lit(AREA_Q)) / F.min("buf_area")).alias("share"))
     )

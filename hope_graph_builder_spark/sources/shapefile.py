@@ -62,9 +62,13 @@ def read_shp(path: str) -> list[tuple[int, int, list[np.ndarray]]]:
     return out
 
 
-def read_dbf(path: str) -> tuple[list[tuple[str, str]], list[list]]:
+def read_dbf(path: str) -> tuple[list[tuple[str, str]], list[list | None]]:
     """dBase III: → (fields [(name, type)], records). C → str, N → int
-    (or float when decimals > 0); values stripped."""
+    (or float when decimals > 0); values stripped. Records flagged
+    deleted ('*') are kept as ``None`` placeholders so the list stays
+    positionally aligned with the .shp record stream — .shp has no
+    deletion flag, so dropping here would shift every later attribute
+    row onto the wrong geometry (zip in read_shapefile drops the pair)."""
     buf = open(path, "rb").read()
     nrec, hdr_size, rec_size = struct.unpack_from("<iHH", buf, 4)
     fields = []
@@ -76,10 +80,11 @@ def read_dbf(path: str) -> tuple[list[tuple[str, str]], list[list]]:
         fdec = buf[off + 17]
         fields.append((name, ftype, flen, fdec))
         off += 32
-    records = []
+    records: list[list | None] = []
     for r in range(nrec):
         base = hdr_size + r * rec_size
-        if buf[base:base + 1] == b"*":  # deleted
+        if buf[base:base + 1] == b"*":  # deleted — placeholder keeps alignment
+            records.append(None)
             continue
         row, p = [], base + 1
         for name, ftype, flen, fdec in fields:
@@ -103,12 +108,15 @@ def read_shapefile(spark: SparkSession, base: str) -> DataFrame:
     fields, records = read_dbf(base + ".dbf")
     rows = []
     for (recno, stype, parts), attrs in zip(shapes, records):
+        if attrs is None:  # dBase deleted record — drop geometry too
+            continue
         if stype == SHP_POINT:
             xy = parts[0][0]
             geom = wkbmod.points_to_wkb(np.array([xy[0]]), np.array([xy[1]]))[0]
             bbox = (xy[0], xy[1], xy[0], xy[1])
         elif stype == SHP_POLYLINE:
-            geom = wkbmod.linestring_to_wkb(parts[0])
+            geom = (wkbmod.linestring_to_wkb(parts[0]) if len(parts) == 1
+                    else wkbmod.multilinestring_to_wkb(parts))
             allp = np.vstack(parts)
             bbox = (allp[:, 0].min(), allp[:, 1].min(), allp[:, 0].max(), allp[:, 1].max())
         elif stype == SHP_POLYGON:

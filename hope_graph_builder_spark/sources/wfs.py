@@ -47,15 +47,19 @@ def _default_fetch(full_url: str) -> str:
         return r.read().decode("utf-8")
 
 
+def _ring2d(r) -> np.ndarray:
+    """GeoJSON positions may carry a Z — many WFS servers emit 3D
+    coordinates. The WKB header we write declares 2D points, so slice
+    every ring to (n, 2) before serialization."""
+    return np.asarray(r, dtype=np.float64)[:, :2]
+
+
 def _geojson_geom_to_parts(geom: dict) -> list[list[np.ndarray]]:
     t = geom["type"]
     if t == "Polygon":
-        return [[np.asarray(r, dtype=np.float64) for r in geom["coordinates"]]]
+        return [[_ring2d(r) for r in geom["coordinates"]]]
     if t == "MultiPolygon":
-        return [
-            [np.asarray(r, dtype=np.float64) for r in part]
-            for part in geom["coordinates"]
-        ]
+        return [[_ring2d(r) for r in part] for part in geom["coordinates"]]
     raise ValueError(f"unsupported WFS geometry type: {t}")
 
 

@@ -246,6 +246,59 @@ def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     return out
 
 
+def _open_ring(r: np.ndarray) -> np.ndarray:
+    r = np.asarray(r, dtype=float)
+    if len(r) > 1 and r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]:
+        return r[:-1]
+    return r
+
+
+def ring_clip_area(ring: np.ndarray, clip: np.ndarray) -> float:
+    """Exact area of (interior of one simple ring) ∩ (CONVEX clip ring).
+
+    Works for ARBITRARY simple rings — concave included — via signed
+    fan decomposition: for any simple polygon, the indicator function
+    equals Σᵢ signᵢ·1_{Tᵢ} over the fan triangles Tᵢ = (v₀, vᵢ, vᵢ₊₁)
+    (the shoelace identity applied to indicators), so
+    area(ring ∩ C) = |Σᵢ signᵢ · area(Tᵢ ∩ C)| — and every Tᵢ ∩ C is a
+    convex∩convex clip the Sutherland–Hodgman kernel already handles.
+    This closes the convex-only gap of ``clip_polygon_convex`` as the
+    overlay intersection (PostGIS ST_Intersection over arbitrary
+    land-cover polygons, reference
+    `land_cover_overlay_analysis.py:87-143`)."""
+    r = _open_ring(ring)
+    if len(r) < 3:
+        return 0.0
+    total = 0.0
+    v0 = r[0]
+    for i in range(1, len(r) - 1):
+        tri = np.array([v0, r[i], r[i + 1]])
+        sa = (
+            (tri[1, 0] - tri[0, 0]) * (tri[2, 1] - tri[0, 1])
+            - (tri[2, 0] - tri[0, 0]) * (tri[1, 1] - tri[0, 1])
+        ) / 2.0
+        if sa == 0.0:
+            continue
+        out = clip_polygon_convex(tri, clip)
+        a = shoelace_area(out) if len(out) >= 3 else 0.0
+        total += a if sa > 0 else -a
+    return abs(total)
+
+
+def clip_area_rings(parts: list[list[np.ndarray]], clip: np.ndarray) -> float:
+    """Area of (Polygon/MultiPolygon with holes) ∩ (convex clip ring).
+    ``parts``: list of polygons, each a ring list (outer first, then
+    holes — the WKB structural convention, matching
+    ``multipolygon_from_wkb``). Valid-geometry semantics: holes
+    subtract from their outer (Shapely/GEOS ``intersection().area``)."""
+    total = 0.0
+    for rings in parts:
+        for k, ring in enumerate(rings):
+            a = ring_clip_area(ring, clip)
+            total += a if k == 0 else -a
+    return total
+
+
 def bbox_of(coords: np.ndarray) -> tuple[float, float, float, float]:
     return (
         float(coords[:, 0].min()), float(coords[:, 1].min()),

@@ -23,6 +23,7 @@ _LE = 1
 WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
+WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
 
 _POINT_HEAD = struct.pack("<BI", _LE, WKB_POINT)
@@ -59,6 +60,29 @@ def linestring_to_wkb(coords: np.ndarray) -> bytes:
 def linestring_from_wkb(buf: bytes) -> np.ndarray:
     (n,) = struct.unpack_from("<I", buf, 5)
     return np.frombuffer(buf, dtype="<f8", count=2 * n, offset=9).reshape(n, 2)
+
+
+def multilinestring_to_wkb(parts: list[np.ndarray]) -> bytes:
+    """MultiLineString: parts = list of (n, 2) arrays. OGC type 5."""
+    head = struct.pack("<BII", _LE, WKB_MULTILINESTRING, len(parts))
+    return head + b"".join(linestring_to_wkb(p) for p in parts)
+
+
+def multilinestring_from_wkb(buf: bytes) -> list[np.ndarray]:
+    """LineString rides through as a single part."""
+    assert buf[0] == _LE
+    t = wkb_type(buf)
+    if t == WKB_LINESTRING:
+        return [linestring_from_wkb(buf)]
+    assert t == WKB_MULTILINESTRING, t
+    (nparts,) = struct.unpack_from("<I", buf, 5)
+    out, off = [], 9
+    for _ in range(nparts):
+        assert buf[off] == _LE
+        (n,) = struct.unpack_from("<I", buf, off + 5)
+        out.append(np.frombuffer(buf, "<f8", 2 * n, off + 9).reshape(n, 2))
+        off += 9 + 16 * n
+    return out
 
 
 def polygon_to_wkb(ring: np.ndarray) -> bytes:

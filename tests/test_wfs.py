@@ -81,6 +81,40 @@ def test_geojson_decode_and_pip(spark):
     assert got == {1: "low", 2: "high"}
 
 
+def test_3d_positions_sliced_to_2d(spark):
+    """Many WFS servers emit XYZ positions; the WKB header we write
+    declares 2D, so Z must be sliced off — not serialized as if the
+    ring were 2D (which would corrupt every coordinate after the
+    first)."""
+    import json
+
+    from hope_graph_builder_spark.sources.wfs import read_wfs_layer
+    from hope_graph_builder_spark.spatial import wkb as wkbmod
+
+    fc = json.dumps({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "properties": {"veg_class": "low"},
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [[0, 0, 5.0], [100, 0, 5.0], [100, 100, 5.0], [0, 100, 5.0], [0, 0, 5.0]]
+                ],
+            },
+        }],
+    })
+    df = read_wfs_layer(spark, "https://example.org/wfs", "veg3d", fetch=lambda u: fc)
+    row = df.collect()[0]
+    parts = wkbmod.multipolygon_from_wkb(bytes(row["geom"]))
+    ring = parts[0][0]
+    assert ring.shape == (5, 2)
+    np.testing.assert_array_equal(
+        ring, [[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]]
+    )
+    assert row["maxx"] == 100.0 and row["maxy"] == 100.0
+
+
 def test_layer_cache_short_circuits(spark, tmp_path):
     from hope_graph_builder_spark.sources.wfs import read_wfs_layer
 

@@ -89,7 +89,8 @@ def main() -> None:
             t0 = time.time()
             build().count()
             wall = time.time() - t0
-            delta = {f: totals(spark)[f] - before[f] for f in FIELDS}
+            after = totals(spark)  # one snapshot — per-field rescans could straddle late stage updates
+            delta = {f: after[f] - before[f] for f in FIELDS}
             if attempt == "warm":
                 print(json.dumps({
                     "query": name, "execs": execs, "mult": mult,
