@@ -173,6 +173,58 @@ def q_overlay(spark, sf_dir):
 
 
 @register(
+    "overlay_concave",
+    f"""
+    WITH edges AS ({synth.sql_concave_edges()}),
+    b AS (
+      SELECT edge_id,
+             least(x1, x2) - 30.0 AS bminx, greatest(x1, x2) + 30.0 AS bmaxx,
+             least(y1, y2) - 30.0 AS bminy, greatest(y1, y2) + 30.0 AS bmaxy,
+             ((greatest(x1, x2) + 30.0) - (least(x1, x2) - 30.0))
+             * ((greatest(y1, y2) + 30.0) - (least(y1, y2) - 30.0)) AS buf_area
+      FROM edges
+    ),
+    r AS ({synth.sql_concave_rects_duckdb()}),
+    pair AS (
+      SELECT b.edge_id, r.veg_class, r.poly_id, min(b.buf_area) AS buf_area,
+             sum(sgn
+                 * greatest(0.0, least(b.bmaxx, r.rmaxx) - greatest(b.bminx, r.rminx))
+                 * greatest(0.0, least(b.bmaxy, r.rmaxy) - greatest(b.bminy, r.rminy))
+             ) AS area
+      FROM b JOIN r
+        ON b.bminx < r.rmaxx AND b.bmaxx > r.rminx
+       AND b.bminy < r.rmaxy AND b.bmaxy > r.rminy
+      GROUP BY b.edge_id, r.veg_class, r.poly_id
+    ),
+    q AS (
+      SELECT edge_id, veg_class, buf_area,
+             CAST(round(area * 100.0) AS BIGINT) AS area_qv
+      FROM pair
+    )
+    SELECT edge_id, veg_class,
+           (CAST(sum(area_qv) AS DOUBLE) / 100.0) / min(buf_area) AS share
+    FROM q WHERE area_qv > 0 GROUP BY edge_id, veg_class
+    """,
+)
+def q_overlay_concave(spark, sf_dir):
+    """J7/A9 GENERAL overlay: CONCAVE hole-bearing vegetation polygons
+    (the reference's real land-cover shape,
+    land_cover_overlay_analysis.py:87-143) × edge buffers, exact
+    intersection-area share. Engine: signed-fan × Sutherland–Hodgman
+    kernel over the raw WKB rings (overlay_share_general — it never
+    sees the decomposition); oracle: the closed-form signed-rectangle
+    decomposition of the same fixture. Integer-valued true areas make
+    the 0.01 m² quantization exact on both sides."""
+    from hope_graph_builder_spark.pipelines.overlay import overlay_share_general
+
+    return overlay_share_general(
+        synth.concave_edges(spark, sf_dir),
+        synth.concave_polys(spark),
+        res=8, dist=30.0, area_q=100.0,
+    )
+
+
+@register(
     "f10_dissolve_union",
     f"""
     WITH veg AS ({synth.sql_veg_overlapping_duckdb()}),

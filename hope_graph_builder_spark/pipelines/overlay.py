@@ -216,7 +216,7 @@ def overlay_share_convex(
 
 def overlay_share_general(
     edges: DataFrame, polys: DataFrame, res: int = 8, dist: float = 30.0,
-    geom: str = "geom",
+    geom: str = "geom", area_q: float = AREA_Q,
 ) -> DataFrame:
     """GENERAL polygon overlay — concave rings, holes, multiparts: the
     exact ST_Intersection-area twin for the reference's real land-cover
@@ -230,10 +230,14 @@ def overlay_share_general(
     concavity and holes cost O(#vertices) triangles per pair, not a
     new shuffle.
 
-    Quantization uses round-to-NEAREST micro-m² (not the rect path's
-    floor): the general kernel's Σ-of-triangle float error (~1e-9
-    relative) sits on the wrong side of floor() when the true area is
-    an exact integer, while nearest keeps closed-form-oracle parity."""
+    Quantization uses round-to-NEAREST at ``area_q`` units/m² (not the
+    rect path's floor): the general kernel's Σ-of-triangle float error
+    (absolute ~1e-5 m² at 1e5-scale coordinates) sits on the wrong
+    side of floor() when the true area is exact, while nearest keeps
+    closed-form-oracle parity; pick ``area_q`` so 1/(2·area_q) safely
+    exceeds that absolute error (100 ⇒ 5e-3 m² margin). The candidate
+    filter runs on the quantized value so a true-zero intersection
+    that the kernel evaluates to ±1e-10 cannot leak a row."""
     b = edge_buffer_rect(edges, dist)
     bc = with_cover_cells(
         b.select("edge_id", "bminx", "bminy", "bmaxx", "bmaxy", "buf_area"),
@@ -274,8 +278,8 @@ def overlay_share_general(
         clip, schema="edge_id long, veg_class string, area double, buf_area double"
     )
     return (
-        inter.filter(F.col("area") > 0)
-        .withColumn("area_q", F.round(F.col("area") * F.lit(AREA_Q)).cast("long"))
+        inter.withColumn("area_qv", F.round(F.col("area") * F.lit(float(area_q))).cast("long"))
+        .filter(F.col("area_qv") > 0)
         .groupBy("edge_id", "veg_class")
-        .agg(((F.sum("area_q").cast("double") / F.lit(AREA_Q)) / F.min("buf_area")).alias("share"))
+        .agg(((F.sum("area_qv").cast("double") / F.lit(float(area_q))) / F.min("buf_area")).alias("share"))
     )

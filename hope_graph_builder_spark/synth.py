@@ -371,6 +371,119 @@ def sql_triangles_duckdb() -> str:
     """
 
 
+N_CONCAVE = 150
+
+
+def _concave_params(k: np.ndarray):
+    """Concave-with-hole fixture parameters — all INTEGER-valued, so
+    every buffer∩polygon intersection area is an exact integer and the
+    round-to-nearest quantization in overlay_share_general is immune
+    to the general kernel's ~1e-5 m² float error (see its docstring).
+    Shape: an L — horizontal arm rect A (ax, ay, ax+w, ay+t) plus
+    vertical arm rect B (ax, ay+t, ax+t2, ay+h) — with a rectangular
+    hole punched in the vertical arm. w > t2 always ⇒ concave ring."""
+    ax = (k % 15).astype(np.float64) * 4000.0 + (k * 7 % 40) * 10.0
+    ay = (k // 15).astype(np.float64) * 4000.0 + (k * 11 % 40) * 10.0
+    w = 600.0 + (k * 13 % 5) * 100.0
+    h = 600.0 + (k * 17 % 5) * 100.0
+    t = 200.0 + (k * 5 % 3) * 50.0
+    t2 = 200.0 + (k * 3 % 3) * 50.0
+    return ax, ay, w, h, t, t2
+
+
+def concave_polys(spark: SparkSession) -> DataFrame:
+    """General-polygon land-cover fixture: N concave hexagonal rings,
+    each with a rectangular hole, as WKB + bbox — the shape of the
+    reference's real (arbitrary multipart) vegetation layers
+    (fetch_land_cover.py:79-94). The engine sees ONLY the WKB ring
+    soup; only the oracle knows the rectilinear decomposition."""
+    from hope_graph_builder_spark.spatial.wkb import polygon_to_wkb_rings
+
+    k = np.arange(N_CONCAVE, dtype=np.int64)
+    ax, ay, w, h, t, t2 = _concave_params(k)
+    rows = []
+    for i in range(N_CONCAVE):
+        ring = np.array([
+            [ax[i], ay[i]], [ax[i] + w[i], ay[i]], [ax[i] + w[i], ay[i] + t[i]],
+            [ax[i] + t2[i], ay[i] + t[i]], [ax[i] + t2[i], ay[i] + h[i]],
+            [ax[i], ay[i] + h[i]],
+        ])
+        hole = np.array([
+            [ax[i] + 50.0, ay[i] + t[i] + 50.0],
+            [ax[i] + t2[i] - 50.0, ay[i] + t[i] + 50.0],
+            [ax[i] + t2[i] - 50.0, ay[i] + t[i] + 150.0],
+            [ax[i] + 50.0, ay[i] + t[i] + 150.0],
+        ])
+        rows.append((
+            int(i), "low" if i % 2 == 0 else "high",
+            bytearray(polygon_to_wkb_rings([ring, hole])),
+            float(ax[i]), float(ay[i]), float(ax[i] + w[i]), float(ay[i] + h[i]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "poly_id long, veg_class string, geom binary, "
+        "minx double, miny double, maxx double, maxy double",
+    )
+
+
+def sql_concave_rects_duckdb() -> str:
+    """DuckDB-side closed form of concave_polys: the signed rectangle
+    decomposition (arm A +, arm B +, hole −). Oracle-only — the engine
+    never sees this."""
+    return f"""
+    WITH p AS (
+      SELECT k AS poly_id,
+             CASE WHEN k % 2 = 0 THEN 'low' ELSE 'high' END AS veg_class,
+             CAST((k % 15) * 4000 + (k * 7 % 40) * 10 AS DOUBLE) AS ax,
+             CAST((k // 15) * 4000 + (k * 11 % 40) * 10 AS DOUBLE) AS ay,
+             CAST(600 + (k * 13 % 5) * 100 AS DOUBLE) AS w,
+             CAST(600 + (k * 17 % 5) * 100 AS DOUBLE) AS h,
+             CAST(200 + (k * 5 % 3) * 50 AS DOUBLE) AS t,
+             CAST(200 + (k * 3 % 3) * 50 AS DOUBLE) AS t2
+      FROM (SELECT unnest(range(0, {N_CONCAVE})) AS k)
+    )
+    SELECT poly_id, veg_class, 1 AS sgn,
+           ax AS rminx, ay AS rminy, ax + w AS rmaxx, ay + t AS rmaxy FROM p
+    UNION ALL
+    SELECT poly_id, veg_class, 1, ax, ay + t, ax + t2, ay + h FROM p
+    UNION ALL
+    SELECT poly_id, veg_class, -1,
+           ax + 50.0, ay + t + 50.0, ax + t2 - 50.0, ay + t + 150.0 FROM p
+    """
+
+
+def concave_edge_fragments(id_col: str = "doc_id") -> dict[str, str]:
+    """Integer-coordinate edges over the concave-poly domain — shared
+    Spark-SQL/DuckDB fragments (only +, *, %, floor on non-negative
+    ints → bit-identical doubles)."""
+    ex = f"CAST(({id_col} % 15) * 4000 + ({id_col} * 19 % 350) * 10 AS DOUBLE)"
+    ey = (f"CAST((CAST(floor({id_col} / 15) AS BIGINT) % 10) * 4000 "
+          f"+ ({id_col} * 23 % 350) * 10 AS DOUBLE)")
+    dx = f"CAST(({id_col} * 29 % 21 - 10) * 20 AS DOUBLE)"
+    dy = f"CAST(({id_col} * 31 % 21 - 10) * 20 AS DOUBLE)"
+    return {"ex": ex, "ey": ey, "dx": dx, "dy": dy}
+
+
+def concave_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = concave_edge_fragments()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.select(
+        F.col("doc_id").alias("edge_id"),
+        F.expr(fr["ex"]).alias("x1"),
+        F.expr(fr["ey"]).alias("y1"),
+        (F.expr(fr["ex"]) + F.expr(fr["dx"])).alias("x2"),
+        (F.expr(fr["ey"]) + F.expr(fr["dy"])).alias("y2"),
+    )
+
+
+def sql_concave_edges(table: str = "documents") -> str:
+    fr = concave_edge_fragments()
+    return (
+        f"SELECT doc_id AS edge_id, {fr['ex']} AS x1, {fr['ey']} AS y1, "
+        f"{fr['ex']} + {fr['dx']} AS x2, {fr['ey']} + {fr['dy']} AS y2 FROM {table}"
+    )
+
+
 def veg_rects_overlapping(spark: SparkSession) -> DataFrame:
     """Vegetation grid WITH deliberate intra-class overlaps (every
     (gx+gy)%3==0 rect gets an (+800,+600)-shifted twin) — the F10

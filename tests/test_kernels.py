@@ -150,3 +150,49 @@ def test_rect_union_parts_disjoint_exact_cover():
         for p in parts:
             in_parts |= (px >= p[0]) & (px < p[2]) & (py >= p[1]) & (py < p[3])
         assert (in_union == in_parts).all()
+
+
+def test_ring_clip_area_concave_exact():
+    """General clip kernel vs hand-computed concave cases."""
+    from hope_graph_builder_spark.spatial.kernels import clip_area_rings, ring_clip_area
+
+    L = np.array([[0, 0], [60, 0], [60, 20], [20, 20], [20, 60], [0, 60]], float)
+    full = np.array([[-10, -10], [100, -10], [100, 100], [-10, 100]], float)
+    assert ring_clip_area(L, full) == 2000.0
+    win = np.array([[10, 10], [50, 10], [50, 50], [10, 50]], float)
+    # horizontal arm x∈[10,50] y∈[10,20] = 400; vertical arm x∈[10,20] y∈[20,50] = 300
+    assert abs(ring_clip_area(L, win) - 700.0) < 1e-9
+    # orientation invariance
+    assert abs(ring_clip_area(L[::-1], win) - 700.0) < 1e-9
+    # donut: outer 100² with 20² hole, window 40×40 centered → 1600−400
+    outer = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], float)
+    hole = np.array([[40, 40], [60, 40], [60, 60], [40, 60]], float)
+    win2 = np.array([[30, 30], [70, 30], [70, 70], [30, 70]], float)
+    assert abs(clip_area_rings([[outer, hole]], win2) - 1200.0) < 1e-9
+    # multipart: two disjoint squares, window covers half of each
+    sq1 = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    sq2 = np.array([[20, 0], [30, 0], [30, 10], [20, 10]], float)
+    win3 = np.array([[5, 0], [25, 0], [25, 10], [5, 10]], float)
+    assert abs(clip_area_rings([[sq1], [sq2]], win3) - 100.0) < 1e-9
+
+
+def test_ring_clip_area_vs_grid_integration():
+    """Random star-shaped concave rings vs brute-force grid sampling —
+    the independence check the closed-form oracle can't give for
+    non-rectilinear shapes."""
+    from hope_graph_builder_spark.spatial.kernels import points_in_ring, ring_clip_area
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 15 + trial * 4))
+        rad = rng.uniform(10, 50, len(ang))
+        star = np.column_stack([50 + rad * np.cos(ang), 50 + rad * np.sin(ang)])
+        win = np.array([[20, 20], [80, 20], [80, 65], [20, 65]], float)
+        exact = ring_clip_area(star, win)
+        n = 900
+        gx, gy = np.meshgrid(
+            np.linspace(20, 80, n, endpoint=False) + 30 / n,
+            np.linspace(20, 65, n, endpoint=False) + 22.5 / n,
+        )
+        approx = points_in_ring(gx.ravel(), gy.ravel(), star).mean() * 60 * 45
+        assert abs(exact - approx) / max(approx, 1.0) < 5e-3

@@ -84,3 +84,56 @@ def test_wkt_roundtrips(spark):
     coords = np.array([[1.5, 2.5], [3.0, 4.0], [5.25, 6.0]])
     assert (parse_linestring_np(format_linestring_np(coords)) == coords).all()
     assert parse_linestring_np("LINESTRING EMPTY").shape == (0, 2)
+
+
+def test_overlay_general_concave_and_holes(spark):
+    """overlay_share_general through the full Spark plan: concave ring
+    + hole vs hand-computed areas, and agreement with the convex path
+    on convex inputs."""
+    from hope_graph_builder_spark.pipelines.overlay import overlay_share_general
+
+    # one edge whose 30 m buffer is exactly [70,130]×[170,230]
+    edges = spark.createDataFrame(
+        [(1, 100.0, 200.0, 100.0, 200.0)], "edge_id long, x1 double, y1 double, x2 double, y2 double"
+    )
+    # L-shape: arm A (0,150)-(300,150)-(300,190) + arm B (0,190)-(60,190)-(60,400),
+    # hole (10,250)-(50,250)-(50,300)-(10,300) inside arm B
+    ring = np.array([[0, 150], [300, 150], [300, 190], [60, 190], [60, 400], [0, 400]], float)
+    hole = np.array([[10, 250], [50, 250], [50, 300], [10, 300]], float)
+    polys = spark.createDataFrame(
+        [(7, "low", bytearray(wkb.polygon_to_wkb_rings([ring, hole])), 0.0, 150.0, 300.0, 400.0)],
+        "poly_id long, veg_class string, geom binary, minx double, miny double, maxx double, maxy double",
+    )
+    out = overlay_share_general(edges, polys, res=9, area_q=100.0).collect()
+    # buffer [70,130]×[170,230]: ∩armA = 60×20=1200 (y 170..190), ∩armB = 0
+    # (x 70..130 vs arm x 0..60), ∩hole = 0 → area 1200; buf_area 3600
+    assert len(out) == 1
+    assert abs(out[0]["share"] - 1200.0 / 3600.0) < 1e-12
+
+    # hole subtraction: buffer [−30,30]×[220,280] ∩ armB (x 0..60 y 190..400)
+    # = 30×60 = 1800 minus hole ∩ = (10..30)×(250..280) = 20×30 = 600 → 1200
+    edges2 = spark.createDataFrame(
+        [(2, 0.0, 250.0, 0.0, 250.0)], "edge_id long, x1 double, y1 double, x2 double, y2 double"
+    )
+    out2 = overlay_share_general(edges2, polys, res=9, area_q=100.0).collect()
+    assert len(out2) == 1
+    assert abs(out2[0]["share"] - 1200.0 / 3600.0) < 1e-12
+
+
+def test_overlay_general_matches_convex_on_convex(spark):
+    edges = synth.page_edges(spark, SF_TINY)
+    veg_pdf = synth._veg_grid_np()
+    veg_pdf["geom"] = [
+        wkb.rect_to_wkb(a, b, c, d)
+        for a, b, c, d in zip(veg_pdf.minx, veg_pdf.miny, veg_pdf.maxx, veg_pdf.maxy)
+    ]
+    from hope_graph_builder_spark.pipelines.overlay import (
+        overlay_share_convex,
+        overlay_share_general,
+    )
+
+    conv = overlay_share_convex(edges, spark.createDataFrame(veg_pdf), res=8).toPandas()
+    gen = overlay_share_general(edges, spark.createDataFrame(veg_pdf), res=8).toPandas()
+    m = conv.merge(gen, on=["edge_id", "veg_class"], suffixes=("_c", "_g"), how="outer")
+    assert m.share_c.notna().all() and m.share_g.notna().all()
+    assert (abs(m.share_c - m.share_g) < 1e-6).all()
