@@ -133,6 +133,46 @@ def drop_small_scc_edges(
     )
 
 
+def with_wgs_polyline(edges: DataFrame) -> DataFrame:
+    """geom_wgs parity (reference keeps BOTH `geometry` (projected) and
+    `geom_wgs` per edge — `common/geometry.py:6-18`,
+    `otp_graph_import.py:41,54` — and the 4326 exchange path exports
+    the wgs side): inverse-project the projected xs/ys polylines back
+    to lon/lat arrays and attach the wgs-side geometry length the
+    reference's wgs golden is defined on
+    (`otp_graph_import_test.py:109-111`). Arrow-batched mapInPandas,
+    same shape as the forward pass in read_otp_edges."""
+    from hope_graph_builder_spark.spatial.crs import gk_to_lonlat_np
+
+    names = [f.name for f in edges.schema.fields]
+    types = {f.name: f.dataType.simpleString() for f in edges.schema.fields}
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lons, lats, wlens = [], [], []
+            for xs, ys in zip(pdf["xs"], pdf["ys"]):
+                p = np.column_stack([np.asarray(xs), np.asarray(ys)])
+                if len(p):
+                    lon, lat = gk_to_lonlat_np(p[:, 0], p[:, 1])
+                    ll = np.column_stack([lon, lat])
+                else:
+                    ll = p
+                lons.append(ll[:, 0].tolist())
+                lats.append(ll[:, 1].tolist())
+                wlens.append(polyline_length(ll) if len(ll) >= 2 else 0.0)
+            out = pdf.copy()
+            out["lons"] = lons
+            out["lats"] = lats
+            out["length_wgs"] = pd.Series(wlens, dtype="float64")
+            yield out
+
+    schema = (
+        ", ".join(f"{n} {types[n]}" for n in names)
+        + ", lons array<double>, lats array<double>, length_wgs double"
+    )
+    return edges.mapInPandas(op, schema=schema)
+
+
 def run_otp_import_csv(
     spark: SparkSession,
     edges_csv: str,

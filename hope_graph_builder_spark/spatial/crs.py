@@ -90,6 +90,54 @@ def lonlat_to_gk_np(
     return x, y
 
 
+def gk_to_lonlat_np(
+    x: np.ndarray,
+    y: np.ndarray,
+    lon0_deg: float = 25.0,
+    k0: float = 1.0,
+    false_easting: float = 25_500_000.0,
+):
+    """Inverse EPSG:3879-style transverse Mercator (Snyder, USGS PP
+    1395, eq. 8-18..8-25 — footpoint latitude then inverse series).
+    Closes the projected→geographic direction the reference round-trips
+    on every geometry (`geometry` ↔ `geom_wgs`,
+    `/root/reference/src/common/geometry.py:6-18`,
+    `otp_graph_import.py:41,54`): a user ingesting in 3879 can now emit
+    ``geom_wgs`` for the 4326 exchange path. Round-trips the forward
+    series to <1 mm within a few degrees of the central meridian."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    e2, ep2, a = _E2, _EP2, _GRS80_A
+    M = y / k0
+    mu = M / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    e1 = (1.0 - np.sqrt(1.0 - e2)) / (1.0 + np.sqrt(1.0 - e2))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    C1 = ep2 * cos1**2
+    T1 = tan1**2
+    N1 = a / np.sqrt(1.0 - e2 * sin1**2)
+    R1 = a * (1.0 - e2) / (1.0 - e2 * sin1**2) ** 1.5
+    D = (x - false_easting) / (N1 * k0)
+    phi = phi1 - (N1 * tan1 / R1) * (
+        D**2 / 2
+        - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * ep2 - 3 * C1**2)
+        * D**6 / 720
+    )
+    lam = np.radians(lon0_deg) + (
+        D
+        - (1 + 2 * T1 + C1) * D**3 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * ep2 + 24 * T1**2) * D**5 / 120
+    ) / cos1
+    return np.degrees(lam), np.degrees(phi)
+
+
 def lonlat_to_mercator_expr(lon: Column, lat: Column) -> tuple[Column, Column]:
     x = F.radians(lon) * F.lit(R)
     y = F.log(F.tan(F.lit(float(np.pi / 4.0)) + F.radians(lat) / F.lit(2.0))) * F.lit(R)

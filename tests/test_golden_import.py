@@ -99,3 +99,36 @@ def test_projection_matches_published_anchor():
     x2, y2 = lonlat_to_gk_np(np.array([24.95, 24.95]), np.array([60.17, 60.171]))
     d = float(np.hypot(x2[1] - x2[0], y2[1] - y2[0]))
     assert abs(d - 111.32) < 0.15
+
+
+def test_gk_inverse_roundtrip_mm():
+    """Inverse transverse Mercator (gk_to_lonlat_np) round-trips the
+    forward series to <1 mm across the HMA frame."""
+    from hope_graph_builder_spark.spatial.crs import gk_to_lonlat_np, lonlat_to_gk_np
+
+    rng = np.random.RandomState(3)
+    lon = 24.5 + rng.uniform(0, 1.5, 200)
+    lat = 60.0 + rng.uniform(0, 0.6, 200)
+    x, y = lonlat_to_gk_np(lon, lat)
+    lon2, lat2 = gk_to_lonlat_np(x, y)
+    x2, y2 = lonlat_to_gk_np(lon2, lat2)
+    assert float(np.hypot(x2 - x, y2 - y).max()) < 1e-3  # < 1 mm
+
+
+def test_golden_mean_wgs_length(golden):
+    """The reference's wgs-side golden: mean geom_wgs length ==
+    0.000429 at 6 places (otp_graph_import_test.py:109-111). Our wgs
+    polylines come from the INVERSE transform applied to the projected
+    geometry (with_wgs_polyline) — the full projected↔geographic
+    round-trip the reference performs on every edge."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.pipelines.otp_import import with_wgs_polyline
+
+    _, edges = golden
+    m = (
+        with_wgs_polyline(edges)
+        .agg(F.avg("length_wgs").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert abs(m - 0.000429) < 0.5e-6
