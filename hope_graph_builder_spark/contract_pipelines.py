@@ -311,6 +311,31 @@ def q_f10_dissolve_parts(spark, sf_dir):
     )
 
 
+@register(
+    "f10_dissolve_concave",
+    synth.sql_dissolve_concave_union_duckdb(),
+)
+def q_f10_dissolve_concave(spark, sf_dir):
+    """F10 GENERAL dissolve: union GEOMETRY of overlapping CONCAVE
+    hole-bearing polygons (the reference's unary_union over arbitrary
+    layers, get_nodata_areas.py:36-37) via the trapezoid-sweep kernel
+    (dissolve_union_geometry_general). Exactness of the emitted
+    geometry: the disjoint parts' summed area must equal the union
+    area the oracle computes independently by 100 m cell counting on
+    the rectilinear decomposition. Integer-valued areas ⇒ the float
+    sum is exact on both sides."""
+    from hope_graph_builder_spark.pipelines.overlay import (
+        dissolve_union_geometry_general,
+    )
+
+    parts = dissolve_union_geometry_general(
+        synth.dissolve_concave_polys(spark), group_cols=["tile"]
+    )
+    return parts.groupBy("tile").agg(
+        F.round(F.sum("part_area"), 0).alias("union_area")
+    )
+
+
 # ---------------------------------------------------------------- export --
 
 @register(

@@ -111,7 +111,7 @@ def dissolve_union_area(
     by_name = {f.name: f.dataType.simpleString() for f in rects.schema.fields}
     schema = ", ".join(f"{c} {by_name[c]}" for c in group_cols) + ", union_area double"
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         area = rect_union_area(
             pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
         )
@@ -139,7 +139,7 @@ def dissolve_union_geometry(
         + ", part_i int, minx double, miny double, maxx double, maxy double, geom binary"
     )
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         parts = rect_union_parts(
             pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
         )
@@ -153,6 +153,55 @@ def dissolve_union_geometry(
         )
 
     return rects.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+
+
+def dissolve_union_geometry_general(
+    polys: DataFrame, group_cols: list[str] | None = None, geom: str = "geom"
+) -> DataFrame:
+    """F10/A9 dissolve of GENERAL polygons (concave, holes, multipart
+    WKB) returning the union GEOMETRY as a disjoint trapezoid
+    decomposition — the reference's ``unary_union`` over arbitrary
+    land-cover polygons (`get_nodata_areas.py:36-37`,
+    `land_cover_overlay_analysis.py:114-129`), which the axis-aligned
+    ``dissolve_union_geometry`` cannot express. One hash shuffle on
+    the group key, then the trapezoid-sweep kernel per group
+    (``poly_union_trapezoids``); each part row carries the trapezoid
+    corners (x0, x1, yb0, yb1, yt0, yt1), its exact area, and the OGC
+    WKB quad so any consumer reads it."""
+    from hope_graph_builder_spark.spatial.kernels import (
+        poly_union_trapezoids,
+        trapezoid_areas,
+    )
+    from hope_graph_builder_spark.spatial.wkb import polygon_to_wkb
+
+    group_cols = group_cols or ["tile", "veg_class"]
+    by_name = {f.name: f.dataType.simpleString() for f in polys.schema.fields}
+    schema = (
+        ", ".join(f"{c} {by_name[c]}" for c in group_cols)
+        + ", part_i int, x0 double, x1 double, yb0 double, yb1 double,"
+        + " yt0 double, yt1 double, part_area double, geom binary"
+    )
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # flatten each row's multiparts: every part is one even-odd
+        # (outer + holes) unit; union across all parts of all rows
+        parts = [multipolygon_from_wkb(bytes(b)) for b in pdf[geom]]
+        flat = [rings for poly in parts for rings in poly]
+        traps = poly_union_trapezoids(flat)
+        areas = trapezoid_areas(traps)
+        rows = []
+        for i, (t, a) in enumerate(zip(traps, areas)):
+            x0, x1, yb0, yb1, yt0, yt1 = (float(v) for v in t)
+            quad = np.array([[x0, yb0], [x1, yb1], [x1, yt1], [x0, yt0]])
+            rows.append([*key, i, x0, x1, yb0, yb1, yt0, yt1, float(a),
+                         polygon_to_wkb(quad)])
+        return pd.DataFrame(
+            rows,
+            columns=[*group_cols, "part_i", "x0", "x1", "yb0", "yb1",
+                     "yt0", "yt1", "part_area", "geom"],
+        )
+
+    return polys.groupBy(*group_cols).applyInPandas(fn, schema=schema)
 
 
 def overlay_share_convex(

@@ -299,6 +299,107 @@ def clip_area_rings(parts: list[list[np.ndarray]], clip: np.ndarray) -> float:
     return total
 
 
+def poly_union_trapezoids(polys: list[list[np.ndarray]]) -> np.ndarray:
+    """Disjoint trapezoid decomposition of the union of GENERAL
+    polygons — concave rings, holes, multiparts — extending the
+    axis-aligned ``rect_union_parts`` to the reference's real
+    ``unary_union`` inputs (`get_nodata_areas.py:36-37`, PostGIS
+    ST_Union at `land_cover_overlay_analysis.py:114-129`).
+
+    ``polys``: list of polygons, each a list of rings (outer first,
+    holes after — even-odd within one polygon; union across polygons).
+
+    Vertical-slab sweep: breakpoints are every vertex x plus every
+    cross-polygon edge-intersection x, so within a slab no two edges
+    cross; each slab's spanning edges sort by midpoint height, a
+    y-sweep keeps per-polygon even-odd parity, and every maximal
+    covered run emits one trapezoid (vertical left/right sides,
+    straight top/bottom edges). Output (k, 6) rows
+    [x0, x1, yb0, yb1, yt0, yt1]: pairwise disjoint, exact cover.
+    O(E²) intersection scan per group — groups are small after the
+    cell-cover prefilter, same contract as ``rect_union_parts``."""
+    edges = []
+    owner = []
+    for pi, rings in enumerate(polys):
+        for ring in rings:
+            r = _open_ring(np.asarray(ring, dtype=float))
+            for i in range(len(r)):
+                a, b = r[i], r[(i + 1) % len(r)]
+                if a[0] != b[0] or a[1] != b[1]:
+                    edges.append((a[0], a[1], b[0], b[1]))
+                    owner.append(pi)
+    if not edges:
+        return np.zeros((0, 6))
+    E = np.asarray(edges, dtype=np.float64)
+    P = np.asarray(owner, dtype=np.int64)
+    xs = set(E[:, 0].tolist()) | set(E[:, 2].tolist())
+    # cross-polygon proper intersections become slab breakpoints
+    n = len(E)
+    for i in range(n):
+        ax, ay, bx, by = E[i]
+        for j in range(i + 1, n):
+            if P[i] == P[j]:
+                continue
+            cx, cy, dx_, dy_ = E[j]
+            r1x, r1y = bx - ax, by - ay
+            r2x, r2y = dx_ - cx, dy_ - cy
+            den = r1x * r2y - r1y * r2x
+            if den == 0.0:
+                continue
+            s = ((cx - ax) * r2y - (cy - ay) * r2x) / den
+            u = ((cx - ax) * r1y - (cy - ay) * r1x) / den
+            if 0.0 <= s <= 1.0 and 0.0 <= u <= 1.0:
+                xs.add(ax + s * r1x)
+    xs = np.array(sorted(xs))
+    exmin = np.minimum(E[:, 0], E[:, 2])
+    exmax = np.maximum(E[:, 0], E[:, 2])
+    nonvert = E[:, 0] != E[:, 2]
+    nump = len(polys)
+    out = []
+    for s in range(len(xs) - 1):
+        x0, x1 = xs[s], xs[s + 1]
+        if x1 <= x0:
+            continue
+        span = np.flatnonzero((exmin <= x0) & (exmax >= x1) & nonvert)
+        if len(span) == 0:
+            continue
+        ex0, ey0, ex1, ey1 = E[span, 0], E[span, 1], E[span, 2], E[span, 3]
+        inv = 1.0 / (ex1 - ex0)
+        y_at0 = ey0 + (x0 - ex0) * inv * (ey1 - ey0)
+        y_at1 = ey0 + (x1 - ex0) * inv * (ey1 - ey0)
+        order = np.argsort(0.5 * (y_at0 + y_at1), kind="stable")
+        parity = np.zeros(nump, dtype=bool)
+        bottom = -1
+        for oi in order:
+            was = parity.any()
+            pi = P[span[oi]]
+            parity[pi] = not parity[pi]
+            now = parity.any()
+            if not was and now:
+                bottom = oi
+            elif was and not now:
+                if (y_at0[oi] - y_at0[bottom]) + (y_at1[oi] - y_at1[bottom]) > 0:
+                    out.append(
+                        (x0, x1, y_at0[bottom], y_at1[bottom], y_at0[oi], y_at1[oi])
+                    )
+                bottom = -1
+    return np.asarray(out, dtype=np.float64) if out else np.zeros((0, 6))
+
+
+def trapezoid_areas(traps: np.ndarray) -> np.ndarray:
+    """Areas of poly_union_trapezoids rows."""
+    if len(traps) == 0:
+        return np.zeros(0)
+    return (traps[:, 1] - traps[:, 0]) * (
+        (traps[:, 4] - traps[:, 2]) + (traps[:, 5] - traps[:, 3])
+    ) / 2.0
+
+
+def poly_union_area(polys: list[list[np.ndarray]]) -> float:
+    """Exact union AREA of general polygons (trapezoid-sweep sum)."""
+    return float(trapezoid_areas(poly_union_trapezoids(polys)).sum())
+
+
 def bbox_of(coords: np.ndarray) -> tuple[float, float, float, float]:
     return (
         float(coords[:, 0].min()), float(coords[:, 1].min()),

@@ -484,6 +484,87 @@ def sql_concave_edges(table: str = "documents") -> str:
     )
 
 
+N_DISSOLVE_TILES = 40
+POLYS_PER_TILE = 4
+
+
+def dissolve_concave_polys(spark: SparkSession) -> DataFrame:
+    """Overlapping CONCAVE hole-bearing polygons for the general
+    dissolve (F10 unary_union over arbitrary polygons,
+    get_nodata_areas.py:36-37): per tile, 4 heavily-overlapping
+    L-with-hole polygons in a 2 km window. All bounds are multiples of
+    100 so the DuckDB oracle can count exact 100 m cells; the engine
+    sees only WKB ring soup."""
+    from hope_graph_builder_spark.spatial.wkb import polygon_to_wkb_rings
+
+    rows = []
+    for k in range(N_DISSOLVE_TILES * POLYS_PER_TILE):
+        g = k // POLYS_PER_TILE
+        ox, oy = (g % 8) * 3000.0, (g // 8) * 3000.0
+        ax = ox + (k * 7 % 10) * 100.0
+        ay = oy + (k * 11 % 10) * 100.0
+        w = 600.0 + (k * 13 % 4) * 100.0
+        h = 600.0 + (k * 17 % 4) * 100.0
+        t = 200.0 + (k * 5 % 2) * 100.0
+        t2 = 300.0 + (k * 3 % 2) * 100.0
+        ring = np.array([
+            [ax, ay], [ax + w, ay], [ax + w, ay + t],
+            [ax + t2, ay + t], [ax + t2, ay + h], [ax, ay + h],
+        ])
+        hole = np.array([
+            [ax + 100.0, ay + t + 100.0], [ax + t2 - 100.0, ay + t + 100.0],
+            [ax + t2 - 100.0, ay + t + 200.0], [ax + 100.0, ay + t + 200.0],
+        ])
+        rows.append((int(g), int(k), bytearray(polygon_to_wkb_rings([ring, hole]))))
+    return spark.createDataFrame(rows, "tile long, poly_id long, geom binary")
+
+
+def sql_dissolve_concave_union_duckdb() -> str:
+    """Closed-form oracle for the general dissolve: exact 100 m cell
+    counting against the rectilinear decomposition (arm A ∪ arm B
+    minus that polygon's own hole, unioned across the tile's polys)."""
+    n = N_DISSOLVE_TILES * POLYS_PER_TILE
+    return f"""
+    WITH p AS (
+      SELECT k AS poly_id, CAST(k // {POLYS_PER_TILE} AS BIGINT) AS tile,
+             CAST(((k // {POLYS_PER_TILE}) % 8) * 3000 + (k * 7 % 10) * 100 AS DOUBLE) AS ax,
+             CAST(((k // {POLYS_PER_TILE}) // 8) * 3000 + (k * 11 % 10) * 100 AS DOUBLE) AS ay,
+             CAST(600 + (k * 13 % 4) * 100 AS DOUBLE) AS w,
+             CAST(600 + (k * 17 % 4) * 100 AS DOUBLE) AS h,
+             CAST(200 + (k * 5 % 2) * 100 AS DOUBLE) AS t,
+             CAST(300 + (k * 3 % 2) * 100 AS DOUBLE) AS t2
+      FROM (SELECT unnest(range(0, {n})) AS k)
+    ),
+    cells AS (
+      SELECT t.tile,
+             CAST((t.tile % 8) * 3000 + cx.range * 100 AS DOUBLE) AS cx0,
+             CAST((t.tile // 8) * 3000 + cy.range * 100 AS DOUBLE) AS cy0
+      FROM (SELECT DISTINCT tile FROM p) t, range(0, 20) cx, range(0, 20) cy
+    ),
+    cov AS (
+      SELECT c.tile, c.cx0, c.cy0
+      FROM cells c
+      WHERE EXISTS (
+        SELECT 1 FROM p
+        WHERE p.tile = c.tile
+          AND (
+            (c.cx0 >= p.ax AND c.cx0 + 100 <= p.ax + p.w
+             AND c.cy0 >= p.ay AND c.cy0 + 100 <= p.ay + p.t)
+            OR
+            (c.cx0 >= p.ax AND c.cx0 + 100 <= p.ax + p.t2
+             AND c.cy0 >= p.ay + p.t AND c.cy0 + 100 <= p.ay + p.h)
+          )
+          AND NOT (
+            c.cx0 >= p.ax + 100 AND c.cx0 + 100 <= p.ax + p.t2 - 100
+            AND c.cy0 >= p.ay + p.t + 100 AND c.cy0 + 100 <= p.ay + p.t + 200
+          )
+      )
+    )
+    SELECT tile, CAST(count(*) * 10000 AS DOUBLE) AS union_area
+    FROM cov GROUP BY tile
+    """
+
+
 def veg_rects_overlapping(spark: SparkSession) -> DataFrame:
     """Vegetation grid WITH deliberate intra-class overlaps (every
     (gx+gy)%3==0 rect gets an (+800,+600)-shifted twin) — the F10

@@ -196,3 +196,58 @@ def test_ring_clip_area_vs_grid_integration():
         )
         approx = points_in_ring(gx.ravel(), gy.ravel(), star).mean() * 60 * 45
         assert abs(exact - approx) / max(approx, 1.0) < 5e-3
+
+
+def test_poly_union_trapezoids_rect_parity_and_disjoint():
+    """Trapezoid-sweep union == rect coordinate-compression union on
+    rectangles; parts pairwise disjoint; concave+hole vs grid."""
+    from hope_graph_builder_spark.spatial.kernels import (
+        points_in_rings,
+        poly_union_area,
+        poly_union_trapezoids,
+        rect_union_area,
+        trapezoid_areas,
+    )
+
+    rng = np.random.RandomState(11)
+    rects = np.column_stack([
+        rng.uniform(0, 80, 12), rng.uniform(0, 80, 12),
+        np.zeros(12), np.zeros(12),
+    ])
+    rects[:, 2] = rects[:, 0] + rng.uniform(10, 40, 12)
+    rects[:, 3] = rects[:, 1] + rng.uniform(10, 40, 12)
+    polys = [
+        [np.array([[a, b], [c, b], [c, d], [a, d]])] for a, b, c, d in rects
+    ]
+    assert abs(poly_union_area(polys) - rect_union_area(rects)) < 1e-6
+
+    # concave + hole + multipart union vs brute-force grid
+    L1 = np.array([[0, 0], [60, 0], [60, 20], [20, 20], [20, 60], [0, 60]], float)
+    hole = np.array([[5, 30], [15, 30], [15, 50], [5, 50]], float)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 14))
+    rad = rng.uniform(10, 35, 14)
+    star = np.column_stack([40 + rad * np.cos(ang), 35 + rad * np.sin(ang)])
+    group = [[L1, hole], [star]]
+    exact = poly_union_area(group)
+    n = 1200
+    gx, gy = np.meshgrid(
+        np.linspace(-5, 80, n, endpoint=False), np.linspace(-5, 75, n, endpoint=False)
+    )
+    cov = points_in_rings(gx.ravel(), gy.ravel(), [L1, hole]) | points_in_rings(
+        gx.ravel(), gy.ravel(), [star]
+    )
+    approx = cov.mean() * 85 * 80
+    assert abs(exact - approx) / approx < 5e-3
+
+    # disjointness: random points counted in ≤1 trapezoid; coverage == union
+    traps = poly_union_trapezoids(group)
+    assert abs(trapezoid_areas(traps).sum() - exact) < 1e-9
+    pts = np.column_stack([rng.uniform(-5, 80, 4000), rng.uniform(-5, 75, 4000)])
+    counts = np.zeros(len(pts), dtype=int)
+    for x0, x1, yb0, yb1, yt0, yt1 in traps:
+        inx = (pts[:, 0] > x0) & (pts[:, 0] < x1)
+        fr = np.where(inx, (pts[:, 0] - x0) / (x1 - x0), 0.0)
+        yb = yb0 + fr * (yb1 - yb0)
+        yt = yt0 + fr * (yt1 - yt0)
+        counts += (inx & (pts[:, 1] > yb) & (pts[:, 1] < yt)).astype(int)
+    assert counts.max() <= 1

@@ -137,3 +137,31 @@ def test_overlay_general_matches_convex_on_convex(spark):
     m = conv.merge(gen, on=["edge_id", "veg_class"], suffixes=("_c", "_g"), how="outer")
     assert m.share_c.notna().all() and m.share_g.notna().all()
     assert (abs(m.share_c - m.share_g) < 1e-6).all()
+
+
+def test_dissolve_general_matches_rect_dissolve(spark):
+    """dissolve_union_geometry_general over rect WKB == the rect
+    dissolve's union area, and the emitted trapezoid WKB quads decode
+    to the parts' own corners."""
+    from hope_graph_builder_spark.pipelines.overlay import (
+        dissolve_union_area,
+        dissolve_union_geometry_general,
+    )
+
+    veg_pdf = synth._veg_grid_np().head(60).copy()
+    veg_pdf["tile"] = (veg_pdf.minx // 10000).astype("int64")
+    veg_pdf["geom"] = [
+        wkb.rect_to_wkb(a, b, c, d)
+        for a, b, c, d in zip(veg_pdf.minx, veg_pdf.miny, veg_pdf.maxx, veg_pdf.maxy)
+    ]
+    df = spark.createDataFrame(veg_pdf)
+    area = dissolve_union_area(df).toPandas()
+    parts = dissolve_union_geometry_general(df).toPandas()
+    got = parts.groupby(["tile", "veg_class"], as_index=False).part_area.sum()
+    m = area.merge(got, on=["tile", "veg_class"], how="outer")
+    assert m.union_area.notna().all() and m.part_area.notna().all()
+    assert (abs(m.union_area - m.part_area) < 1e-6).all()
+    # WKB quad round-trip
+    row = parts.iloc[0]
+    ring = wkb.polygon_from_wkb(bytes(row.geom))
+    assert ring[0][0] == row.x0 and ring[1][0] == row.x1
