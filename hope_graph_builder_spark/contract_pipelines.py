@@ -675,6 +675,92 @@ def q_noise_nulls_extent(spark, sf_dir):
     )
 
 
+_SQL_EXTENT_CONCAVE = """
+    WITH {flagship},
+    exp AS (
+      SELECT edge_id, CAST(n_max_adj AS INT) AS db,
+             round_even(count(*) * min(sample_len), 5) AS exposure
+      FROM final_samples WHERE n_max_adj IS NOT NULL
+      GROUP BY edge_id, n_max_adj
+    ),
+    nn AS (SELECT edge_id, count(*) AS n_noises FROM exp GROUP BY edge_id),
+    src_rows AS (
+      SELECT edge_id, src, count(*) AS cnt
+      FROM (SELECT edge_id, unnest(n_max_sources) AS src FROM final_samples)
+      WHERE src IS NOT NULL GROUP BY edge_id, src
+    ),
+    ranked AS (
+      SELECT edge_id, src,
+             row_number() OVER (PARTITION BY edge_id ORDER BY cnt DESC, {prio} ASC) AS rn
+      FROM src_rows
+    ),
+    flags AS (
+      SELECT edge_id, {within} AS in_extent
+      FROM edges
+    )
+    SELECT e.edge_id,
+           CASE WHEN NOT f.in_extent THEN CAST(-1 AS BIGINT)
+                ELSE coalesce(nn.n_noises, 0) END AS n_noises,
+           CASE WHEN NOT f.in_extent THEN NULL
+                ELSE coalesce(r.src, '') END AS noise_source,
+           f.in_extent,
+           ((e.x1 >= 200.03 AND e.x1 < 80000.03 AND e.y1 >= 200.03 AND e.y1 < 70000.03)
+            AND (e.x2 >= 200.03 AND e.x2 < 80000.03 AND e.y2 >= 200.03 AND e.y2 < 70000.03))
+           AS bbox_endpoint_flag
+    FROM edges e
+    JOIN flags f USING (edge_id)
+    LEFT JOIN nn USING (edge_id)
+    LEFT JOIN (SELECT edge_id, src FROM ranked WHERE rn = 1) r USING (edge_id)
+    """
+
+
+@register(
+    "noise_extent_concave",
+    _SQL_EXTENT_CONCAVE.format(
+        flagship=flagship_ctes(),
+        prio=_PRIO_SQL,
+        within=synth.sql_within_rings(
+            "x1", "y1", "x2", "y2", synth.CONCAVE_EXTENT_RINGS
+        ),
+    ),
+)
+def q_noise_extent_concave(spark, sf_dir):
+    """Turnkey J3 for a GENERAL (concave + hole) extent polygon:
+    run_noise_join(extent_polys=...) uses geometry-within (both
+    endpoints even-odd inside AND no boundary crossing) — the fixture's
+    U-notch contains the hotspot, so many edges that the endpoint-only
+    bbox flag would call inside are correctly nodata, and the oracle's
+    bbox_endpoint_flag column proves the two predicates genuinely
+    diverge on this input. Oracle within is generated from the same
+    float expressions as the kernel (synth.sql_within_rings)."""
+    edges = _edges(spark, sf_dir)
+    out = run_noise_join(
+        edges, synth.noise_layers(spark), synth.NODATA_RECT, res=7,
+        extent_polys=synth.CONCAVE_EXTENT_RINGS,
+    )
+    from hope_graph_builder_spark.operators.geometry import edges_within_rings
+
+    flags = edges_within_rings(edges, synth.CONCAVE_EXTENT_RINGS)
+    bx = lambda x, y: (  # noqa: E731
+        (F.col(x) >= 200.03) & (F.col(x) < 80000.03)
+        & (F.col(y) >= 200.03) & (F.col(y) < 70000.03)
+    )
+    bbox_flag = edges.select(
+        "edge_id", (bx("x1", "y1") & bx("x2", "y2")).alias("bbox_endpoint_flag")
+    )
+    return (
+        out.select(
+            "edge_id",
+            F.when(F.col("noises").isNull(), F.lit(-1).cast("long"))
+            .otherwise(F.size("noises").cast("long"))
+            .alias("n_noises"),
+            "noise_source",
+        )
+        .join(flags, "edge_id")
+        .join(bbox_flag, "edge_id")
+    )
+
+
 # ----------------------------------------------------------- graph import --
 
 @register(

@@ -78,6 +78,35 @@ def ring_boundary_intersects_rect(
     return F.when(F.size(xs) >= 2, hit).otherwise(F.lit(False))
 
 
+def edges_within_rings(
+    edges: DataFrame, rings: list[np.ndarray], id_col: str = "edge_id"
+) -> DataFrame:
+    """J3 for GENERAL extent polygons: (edge_id, x1..y2) →
+    (edge_id, in_extent) where in_extent = segment geometry WITHIN the
+    even-odd region of ``rings`` (concave + holes supported — the
+    reference's municipal extent is a real concave polygon,
+    `noise_graph_update.py:36-44`). Arrow-batched kernel
+    (``segments_within_rings``), no shuffle; the extent rings ride in
+    the closure (small, broadcast with the task)."""
+    from hope_graph_builder_spark.spatial.kernels import segments_within_rings
+
+    rings2 = [np.asarray(r, dtype=np.float64) for r in rings]
+    icol = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok = segments_within_rings(
+                pdf["x1"].to_numpy(np.float64), pdf["y1"].to_numpy(np.float64),
+                pdf["x2"].to_numpy(np.float64), pdf["y2"].to_numpy(np.float64),
+                rings2,
+            )
+            yield pd.DataFrame({icol: pdf[icol], "in_extent": ok})
+
+    return edges.select(icol, "x1", "y1", "x2", "y2").mapInPandas(
+        op, schema=f"{icol} long, in_extent boolean"
+    )
+
+
 # ------------------------------------------------------------- F9 explode --
 
 _PART_SCHEMA = (

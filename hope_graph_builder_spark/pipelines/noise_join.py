@@ -434,6 +434,7 @@ def run_noise_join(
     nodata_polys: DataFrame | None = None,
     nodata_res: int = 4,
     fused_dedup: bool = True,
+    extent_polys: list | None = None,
 ) -> DataFrame:
     """Full flagship: → edge_noises(edge_id, noises map, noise_source,
     noise_sources map).
@@ -444,12 +445,19 @@ def run_noise_join(
     when unmatched; all other edges get noises=NULL / noise_source=NULL
     (nodata). For a rectangular (convex) extent and straight 2-vertex
     edges, geometry-within ⇔ BOTH endpoints inside — exactly the native
-    predicate below, no refinement needed. (A CONCAVE extent polygon
-    would need a segment-inside test — endpoint membership is then
-    necessary but not sufficient; compose ring_boundary_intersects_rect
-    / pip refinement for that case.)"""
+    predicate below, no refinement needed.
+
+    ``extent_polys`` is the turnkey GENERAL-extent form (list of ring
+    arrays, outer + holes, even-odd — the reference's extent is a real
+    concave municipal polygon): within = both endpoints inside AND no
+    boundary crossing (``segments_within_rings``), which differs from
+    the endpoint-only predicate exactly when a segment exits and
+    re-enters a concave region. Mutually exclusive with
+    ``extent_rect``."""
     if nodata_polys is not None and not dedup_xy:
         raise ValueError("nodata_polys requires the dedup_xy=True strategy")
+    if extent_rect is not None and extent_polys is not None:
+        raise ValueError("pass extent_rect OR extent_polys, not both")
     final = noise_final_samples(
         edges, layers, nodata_rect, res, ring_radius, ring_count, salt, hot,
         dedup_xy=dedup_xy, nodata_polys=nodata_polys, nodata_res=nodata_res,
@@ -461,10 +469,18 @@ def run_noise_join(
     # stage-launch floor was the measured N-vs-4N scaling bottleneck).
     # No persist: the fused aggregate is the only consumer.
     slim = final.select("edge_id", "sample_len", "n_max_adj", "n_max_mask")
-    if extent_rect is None:
+    if extent_rect is None and extent_polys is None:
         # every edge yields ≥1 sample ⇒ the aggregate's group keys
         # already cover the full edge list — no reassembly join
         return aggregate_noises_by_edge(slim)
+    if extent_polys is not None:
+        from hope_graph_builder_spark.operators.geometry import edges_within_rings
+
+        return aggregate_noises_by_edge(
+            slim,
+            edges_all=edges_within_rings(edges, extent_polys),
+            extent_flag="in_extent",
+        )
     ex0, ey0, ex1, ey1 = extent_rect
     inside = lambda x, y: (  # noqa: E731
         (F.col(x) >= ex0) & (F.col(x) < ex1) & (F.col(y) >= ey0) & (F.col(y) < ey1)

@@ -299,6 +299,44 @@ def clip_area_rings(parts: list[list[np.ndarray]], clip: np.ndarray) -> float:
     return total
 
 
+def segments_within_rings(
+    x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray,
+    rings: list[np.ndarray],
+) -> np.ndarray:
+    """Is each SEGMENT within the (possibly concave, hole-bearing)
+    even-odd region bounded by ``rings``? Both endpoints inside
+    (even-odd ray cast) AND no proper crossing with any boundary
+    segment — for a straight segment and a simple region that is
+    exactly geometry-within (a concave region can be exited and
+    re-entered between two inside endpoints, which endpoint-only
+    testing misses; reference sjoin op='within' over the municipal
+    extent polygon, `noise_graph_update.py:36-44`).
+
+    Boundary convention: endpoint-on-boundary resolves by the ray-cast
+    half-open rule; crossings use STRICT orientation sign changes
+    (touching does not count) — deterministic, and the SQL oracle twin
+    (synth.sql_within_rings) is generated from the IDENTICAL float
+    expressions so both engines decide every edge case the same way."""
+    inside = points_in_rings(x1, y1, rings) & points_in_rings(x2, y2, rings)
+    cross_any = np.zeros(len(x1), dtype=bool)
+    dx = (x2 - x1)[:, None]
+    dy = (y2 - y1)[:, None]
+    for r in rings:
+        r = np.asarray(r, dtype=float)
+        if r[0, 0] != r[-1, 0] or r[0, 1] != r[-1, 1]:
+            r = np.vstack([r, r[:1]])
+        qx1, qy1 = r[:-1, 0][None, :], r[:-1, 1][None, :]
+        qx2, qy2 = r[1:, 0][None, :], r[1:, 1][None, :]
+        o1 = dx * (qy1 - y1[:, None]) - dy * (qx1 - x1[:, None])
+        o2 = dx * (qy2 - y1[:, None]) - dy * (qx2 - x1[:, None])
+        ex = qx2 - qx1
+        ey = qy2 - qy1
+        o3 = ex * (y1[:, None] - qy1) - ey * (x1[:, None] - qx1)
+        o4 = ex * (y2[:, None] - qy1) - ey * (x2[:, None] - qx1)
+        cross_any |= ((o1 * o2 < 0) & (o3 * o4 < 0)).any(axis=1)
+    return inside & ~cross_any
+
+
 def poly_union_trapezoids(polys: list[list[np.ndarray]]) -> np.ndarray:
     """Disjoint trapezoid decomposition of the union of GENERAL
     polygons — concave rings, holes, multiparts — extending the

@@ -595,6 +595,65 @@ def sql_veg_overlapping_duckdb() -> str:
     """
 
 
+# Concave extent fixture for the turnkey J3 general-polygon path: a
+# U-shape whose notch contains the hotspot square (so hot edges fall
+# OUTSIDE the extent) plus a rectangular hole. The .03 offsets keep
+# ring lines off the synthetic 0.1-m coordinate grid.
+CONCAVE_EXTENT_RINGS = [
+    np.array([
+        [200.03, 200.03], [80000.03, 200.03], [80000.03, 70000.03],
+        [60000.03, 70000.03], [60000.03, 20000.03], [40000.03, 20000.03],
+        [40000.03, 70000.03], [200.03, 70000.03],
+    ]),
+    np.array([
+        [10000.03, 10000.03], [20000.03, 10000.03],
+        [20000.03, 15000.03], [10000.03, 15000.03],
+    ]),
+]
+
+
+def sql_within_rings(
+    x1: str, y1: str, x2: str, y2: str, rings: list[np.ndarray]
+) -> str:
+    """DuckDB boolean: segment (x1,y1)-(x2,y2) WITHIN the even-odd
+    region of ``rings`` — mechanically generated from the IDENTICAL
+    float expressions as kernels.segments_within_rings (same op order
+    ⇒ identical doubles ⇒ identical decisions, even on degenerate
+    touches). Oracle-side only."""
+    def segs(r: np.ndarray):
+        r = np.asarray(r, dtype=float)
+        if r[0, 0] != r[-1, 0] or r[0, 1] != r[-1, 1]:
+            r = np.vstack([r, r[:1]])
+        return [
+            (repr(r[i, 0]), repr(r[i, 1]), repr(r[i + 1, 0]), repr(r[i + 1, 1]))
+            for i in range(len(r) - 1)
+        ]
+
+    def inside(px: str, py: str) -> str:
+        terms = []
+        for r in rings:
+            for ax, ay, bx, by in segs(r):
+                cond = f"(({ay} > {py}) != ({by} > {py}))"
+                xint = f"({ax} + ({py} - {ay}) * ({bx} - {ax}) / ({by} - {ay}))"
+                terms.append(
+                    f"CASE WHEN {cond} AND ({px} < {xint}) THEN 1 ELSE 0 END"
+                )
+        return f"(({' + '.join(terms)}) % 2 = 1)"
+
+    cross = []
+    for r in rings:
+        for ax, ay, bx, by in segs(r):
+            o1 = f"(({x2} - {x1}) * ({ay} - {y1}) - ({y2} - {y1}) * ({ax} - {x1}))"
+            o2 = f"(({x2} - {x1}) * ({by} - {y1}) - ({y2} - {y1}) * ({bx} - {x1}))"
+            o3 = f"(({bx} - {ax}) * ({y1} - {ay}) - ({by} - {ay}) * ({x1} - {ax}))"
+            o4 = f"(({bx} - {ax}) * ({y2} - {ay}) - ({by} - {ay}) * ({x2} - {ax}))"
+            cross.append(f"(({o1} * {o2} < 0) AND ({o3} * {o4} < 0))")
+    return (
+        f"({inside(x1, y1)} AND {inside(x2, y2)} "
+        f"AND NOT ({' OR '.join(cross)}))"
+    )
+
+
 def sql_points(id_col: str = "doc_id", table: str = "documents") -> str:
     fr = xy_fragments(id_col)
     return (

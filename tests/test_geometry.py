@@ -180,3 +180,40 @@ def test_multipart_explode_invariants(spark):
         assert (r.n_rings == 2) == ((r.doc_id + r.part_i) % 4 == 0)
     # bboxes are non-degenerate and ordered
     assert (parts.maxx > parts.minx).all() and (parts.maxy > parts.miny).all()
+
+
+def test_segments_within_rings_concave_and_hole(spark):
+    """Concave U + hole: endpoint-only membership is NOT sufficient —
+    a segment spanning the notch has both endpoints inside but exits
+    the region; a segment over the hole likewise."""
+    import numpy as np
+
+    from hope_graph_builder_spark.operators.geometry import edges_within_rings
+    from hope_graph_builder_spark.spatial.kernels import segments_within_rings
+
+    # U-shape: [0,100]×[0,100] minus notch [40,60]×[40,100]; hole [10,20]²
+    u = np.array([
+        [0, 0], [100, 0], [100, 100], [60, 100], [60, 40],
+        [40, 40], [40, 100], [0, 100],
+    ], float)
+    hole = np.array([[10, 10], [20, 10], [20, 20], [10, 20]], float)
+    x1 = np.array([30.0, 30.0, 5.0, 70.0, 30.0])
+    y1 = np.array([80.0, 10.0, 15.0, 80.0, 30.0])
+    x2 = np.array([80.0, 35.0, 15.0, 80.0, 70.0])
+    y2 = np.array([80.0, 10.0, 15.0, 90.0, 30.0])
+    got = segments_within_rings(x1, y1, x2, y2, [u, hole])
+    # 0: spans the notch (both endpoints inside!) → NOT within
+    # 1: fully in the left arm → within
+    # 2: ends inside the hole → NOT within
+    # 3: fully in the right arm → within
+    # 4: y=30 passes BELOW the notch (notch starts at y=40) → within
+    assert got.tolist() == [False, True, False, True, True]
+
+    # same answers through the Spark operator
+    df = spark.createDataFrame(
+        [(i, float(a), float(b), float(c), float(d))
+         for i, (a, b, c, d) in enumerate(zip(x1, y1, x2, y2))],
+        "edge_id long, x1 double, y1 double, x2 double, y2 double",
+    )
+    rows = {r.edge_id: r.in_extent for r in edges_within_rings(df, [u, hole]).collect()}
+    assert [rows[i] for i in range(5)] == [False, True, False, True, True]
