@@ -688,6 +688,59 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _sql_kmeans(k: int = 8, iters: int = 2, dp: int = 5, dim: int = 64) -> str:
+    """DuckDB twin of similarity.kmeans_lloyd: iterations unrolled as
+    CTE pairs (assign → per-dimension decimal-sum mean). Emits one row
+    per (list_id, dim) of the FINAL centroids."""
+    ctes = [
+        "c AS (SELECT vec_id AS cand_id, "
+        f"list_transform(embedding, x -> round_even(CAST(x AS DOUBLE), {dp})) AS cv "
+        "FROM embeddings)",
+        f"cen0 AS (SELECT cand_id AS list_id, cv AS cen FROM c WHERE cand_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cen{i - 1}"
+        ctes.append(
+            f"a{i} AS (SELECT cand_id, cv, list_id FROM ("
+            f"SELECT c.cand_id, c.cv, {prev}.list_id, "
+            f"row_number() OVER (PARTITION BY c.cand_id "
+            f"ORDER BY {_sql_cos('c.cv', prev + '.cen')} DESC, {prev}.list_id) AS arnk "
+            f"FROM c, {prev}) WHERE arnk = 1)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT list_id, r.range - 1 AS pos, "
+            f"CAST(sum(CAST(cv[r.range] AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS m, "
+            f"count(*) AS n "
+            f"FROM a{i}, range(1, {dim + 1}) r GROUP BY list_id, r.range)"
+        )
+        ctes.append(
+            f"cen{i} AS (SELECT list_id, list(m ORDER BY pos) AS cen, min(n) AS size "
+            f"FROM s{i} GROUP BY list_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT list_id, pos, m AS cval, n AS size FROM s{iters}"
+    )
+
+
+@register(
+    "e_kmeans_centroids",
+    _sql_kmeans(),
+)
+def q_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd k-means (similarity.kmeans_lloyd) — the
+    trained coarse quantizer behind ivf_topk(centroids=...). Two full
+    iterations (spherical argmax-cosine assignment, per-dimension
+    decimal-sum mean) verified value-exact against the unrolled SQL
+    twin: assignment routing AND every centroid component double must
+    match. Quantize-then-decimal-sum makes the float mean order-free
+    (bround/round_even parity holds at ≤5 dp)."""
+    cen = similarity.kmeans_lloyd(_emb(spark, sf_dir), k=8, iters=2)
+    return cen.select(
+        "list_id", F.posexplode("cen").alias("pos", "cval"), "size"
+    )
+
+
 _SQL_EMB_D = "list_transform({v}, x -> CAST(x AS DOUBLE))"
 
 

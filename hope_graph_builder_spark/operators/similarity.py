@@ -196,6 +196,73 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 5,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the trained
+    coarse quantizer for ``ivf_topk(centroids=...)`` (its docstring's
+    documented swap-in seam, now real). Spherical assignment (argmax
+    cosine, ties to the lowest list id — identical to IVF routing) and
+    arithmetic-mean update.
+
+    100 TB shape per iteration: one broadcast of the k×dim centroid
+    table, one narrow assignment pass (crossJoin against the broadcast
+    + windowed argmax per vector), one groupBy(list, dim) with map-side
+    partial sums. Centroids are localCheckpoint'ed between iterations
+    (lineage cut, same pattern as operators/graph.py) — never collected
+    to the driver.
+
+    Cross-engine exactness (the repo's quantize-then-decimal-sum rule):
+    components are half-even-quantized to ``dp`` decimals up front
+    (default 5 — the validated bround==round_even range), so
+    the per-dimension SUM runs in DECIMAL — order-free and exact — and
+    mean = CAST(sum AS DOUBLE)/n is bit-identical in any engine. A
+    cluster that loses all members drops out (documented; anchors-init
+    makes this unreachable on real corpora).
+
+    → (list_id, cen array<double>, size long)."""
+    v = F.transform(F.col(vec_col), lambda x: F.bround(x.cast("double"), dp))
+    c = corpus.select(F.col(id_col).alias("cand_id"), v.alias("cv"))
+    cen = c.filter(F.col("cand_id") < k).select(
+        F.col("cand_id").alias("list_id"), F.col("cv").alias("cen"),
+        F.lit(1).cast("long").alias("size"),
+    )
+    wa = Window.partitionBy("cand_id").orderBy(F.desc("acos"), F.asc("list_id"))
+    for _ in range(iters):
+        assigned = (
+            c.crossJoin(F.broadcast(cen.select("list_id", "cen")))
+            .withColumn("acos", cosine(F.col("cv"), F.col("cen")))
+            .withColumn("arnk", F.row_number().over(wa))
+            .filter(F.col("arnk") == 1)
+            .select("cand_id", "cv", "list_id")
+        )
+        sums = (
+            assigned.select("list_id", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cen = sums.groupBy("list_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda t: t["m"],
+            ).alias("cen"),
+            F.first("n").alias("size"),
+        )
+        cen = cen.localCheckpoint()
+    return cen
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -204,6 +271,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN — the cluster-routed scale path (complement of the
     LSH family): vectors are assigned once to their nearest of
@@ -216,11 +284,16 @@ def ivf_topk(
     broadcast centroid table, one narrow assignment pass, equi-join on
     list id, per-query top-k window — is exactly the production IVF
     shape; swapping in trained centroids changes only the tiny
-    broadcast table. At 100 TB: nlist ~ sqrt(N), lists co-partitioned
-    by list_id so each probe is a partition-local scan."""
-    cen = corpus.filter(F.col(id_col) < nlist).select(
-        F.col(id_col).alias("list_id"), _as_double(F.col(vec_col)).alias("cen")
-    )
+    broadcast table — pass ``centroids=kmeans_lloyd(corpus, k=nlist)``
+    (columns list_id, cen) for the trained variant. At 100 TB:
+    nlist ~ sqrt(N), lists co-partitioned by list_id so each probe is
+    a partition-local scan."""
+    if centroids is not None:
+        cen = centroids.select("list_id", "cen")
+    else:
+        cen = corpus.filter(F.col(id_col) < nlist).select(
+            F.col(id_col).alias("list_id"), _as_double(F.col(vec_col)).alias("cen")
+        )
     c = corpus.select(
         F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv")
     )

@@ -97,3 +97,50 @@ def test_cosine_topk_self_similarity(spark):
     # ANN recall: bucketed candidates are a subset ranked identically
     ann = similarity.ann_lsh_topk(emb, q, k=5).toPandas()
     assert set(ann.columns) == {"query_id", "cand_id", "cos", "rank"}
+
+
+def test_kmeans_lloyd_converges_and_feeds_ivf(spark):
+    """Lloyd iterations must tighten clusters on a separable fixture,
+    and ivf_topk(centroids=trained, nprobe=nlist) must equal the exact
+    brute-force top-k (with every list probed, routing cannot lose a
+    candidate)."""
+    import numpy as np
+
+    from hope_graph_builder_spark.operators import similarity
+
+    rng = np.random.RandomState(42)
+    centers = rng.normal(size=(4, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + 0.15 * rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cen1 = similarity.kmeans_lloyd(emb, k=4, iters=1)
+    cen3 = similarity.kmeans_lloyd(emb, k=4, iters=3)
+
+    def sse(cen_df):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        c = emb.select(F.col("vec_id").alias("cand_id"),
+                       similarity._as_double(F.col("embedding")).alias("cv"))
+        wa = Window.partitionBy("cand_id").orderBy(F.desc("acos"), F.asc("list_id"))
+        a = (c.crossJoin(F.broadcast(cen_df.select("list_id", "cen")))
+             .withColumn("acos", similarity.cosine(F.col("cv"), F.col("cen")))
+             .withColumn("r", F.row_number().over(wa)).filter("r = 1"))
+        return a.agg(F.avg(1.0 - F.col("acos"))).collect()[0][0]
+
+    assert sse(cen3) <= sse(cen1) + 1e-12
+    sizes = {r.list_id: r.size for r in cen3.collect()}
+    assert sum(sizes.values()) == 200 and len(sizes) == 4
+    # trained-centroid IVF with full probing == exact brute force
+    q = emb.filter("vec_id % 50 = 0")
+    ivf = similarity.ivf_topk(emb, q, k=5, nlist=4, nprobe=4, centroids=cen3)
+    exact = similarity.cosine_topk(emb, q, k=5)
+    got = {(r.query_id, r.rank): r.cand_id for r in ivf.collect()}
+    want = {(r.query_id, r.rank): r.cand_id for r in exact.collect()}
+    assert got == want
