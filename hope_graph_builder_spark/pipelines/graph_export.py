@@ -27,9 +27,15 @@ from hope_graph_builder_spark.spatial.kernels import simplify_rdp
 
 
 def wkb_type_expr(geom: Column) -> Column:
-    """OGC geometry type code of a WKB binary column, natively: the low
-    byte of the little-endian type word (all emitted types < 256)."""
-    return F.conv(F.hex(F.substring(geom, 2, 1)), 16, 10).cast("int")
+    """OGC geometry type code of a WKB binary column, natively and
+    byte-order-aware: the type word's LOW byte sits at offset 1 for NDR
+    (flag byte 0x01) and offset 4 for XDR (0x00) — all OGC 2D type
+    codes are < 256, so one byte suffices. Stays in codegen."""
+    flag = F.conv(F.hex(F.substring(geom, 1, 1)), 16, 10).cast("int")
+    low = F.when(flag == 1, F.substring(geom, 2, 1)).otherwise(
+        F.substring(geom, 5, 1)
+    )
+    return F.conv(F.hex(low), 16, 10).cast("int")
 
 
 def filter_geometry_type(df: DataFrame, wkb_col: str, type_code: int) -> DataFrame:

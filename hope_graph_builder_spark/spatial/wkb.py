@@ -40,15 +40,33 @@ def points_to_wkb(x: np.ndarray, y: np.ndarray) -> list[bytes]:
     return [raw[i * 21 : (i + 1) * 21] for i in range(n)]
 
 
+def _bo(buf: bytes, offset: int = 0) -> str:
+    """Endianness prefix of the record at ``offset``: '<' (NDR) or '>'
+    (XDR). Every decoder honors the per-record flag — real-world WKB
+    interchange carries both orders (OGC 06-103r4 §8; PostGIS emits
+    either). Encoders stay NDR (spec-legal, and the only order the
+    vectorized fast paths write)."""
+    b = buf[offset]
+    if b == 1:
+        return "<"
+    if b == 0:
+        return ">"
+    raise ValueError(f"bad WKB byte-order flag {b}")
+
+
 def point_from_wkb(buf: bytes) -> tuple[float, float]:
-    assert buf[0] == _LE
-    return struct.unpack_from("<dd", buf, 5)
+    e = _bo(buf)
+    return struct.unpack_from(f"{e}dd", buf, 5)
 
 
 def points_from_wkb(bufs) -> tuple[np.ndarray, np.ndarray]:
-    raw = b"".join(bufs)
-    arr = np.frombuffer(raw, dtype=np.dtype([("h", "V5"), ("x", "<f8"), ("y", "<f8")]))
-    return arr["x"].copy(), arr["y"].copy()
+    bufs = list(bufs)
+    if all(b[0] == _LE for b in bufs):  # vectorized NDR fast path
+        raw = b"".join(bufs)
+        arr = np.frombuffer(raw, dtype=np.dtype([("h", "V5"), ("x", "<f8"), ("y", "<f8")]))
+        return arr["x"].copy(), arr["y"].copy()
+    pts = np.array([point_from_wkb(b) for b in bufs], dtype=np.float64)
+    return pts[:, 0].copy(), pts[:, 1].copy()
 
 
 def linestring_to_wkb(coords: np.ndarray) -> bytes:
@@ -58,8 +76,10 @@ def linestring_to_wkb(coords: np.ndarray) -> bytes:
 
 
 def linestring_from_wkb(buf: bytes) -> np.ndarray:
-    (n,) = struct.unpack_from("<I", buf, 5)
-    return np.frombuffer(buf, dtype="<f8", count=2 * n, offset=9).reshape(n, 2)
+    e = _bo(buf)
+    (n,) = struct.unpack_from(f"{e}I", buf, 5)
+    a = np.frombuffer(buf, dtype=f"{e}f8", count=2 * n, offset=9).reshape(n, 2)
+    return a.astype(np.float64, copy=False) if e == "<" else a.astype(np.float64)
 
 
 def multilinestring_to_wkb(parts: list[np.ndarray]) -> bytes:
@@ -70,17 +90,18 @@ def multilinestring_to_wkb(parts: list[np.ndarray]) -> bytes:
 
 def multilinestring_from_wkb(buf: bytes) -> list[np.ndarray]:
     """LineString rides through as a single part."""
-    assert buf[0] == _LE
     t = wkb_type(buf)
     if t == WKB_LINESTRING:
         return [linestring_from_wkb(buf)]
     assert t == WKB_MULTILINESTRING, t
-    (nparts,) = struct.unpack_from("<I", buf, 5)
+    e = _bo(buf)
+    (nparts,) = struct.unpack_from(f"{e}I", buf, 5)
     out, off = [], 9
     for _ in range(nparts):
-        assert buf[off] == _LE
-        (n,) = struct.unpack_from("<I", buf, off + 5)
-        out.append(np.frombuffer(buf, "<f8", 2 * n, off + 9).reshape(n, 2))
+        ei = _bo(buf, off)
+        (n,) = struct.unpack_from(f"{ei}I", buf, off + 5)
+        a = np.frombuffer(buf, f"{ei}f8", 2 * n, off + 9).reshape(n, 2)
+        out.append(a.astype(np.float64) if ei == ">" else a)
         off += 9 + 16 * n
     return out
 
@@ -95,10 +116,12 @@ def polygon_to_wkb(ring: np.ndarray) -> bytes:
 
 def polygon_from_wkb(buf: bytes) -> np.ndarray:
     """Returns the outer ring (n, 2), closed."""
-    (nrings,) = struct.unpack_from("<I", buf, 5)
+    e = _bo(buf)
+    (nrings,) = struct.unpack_from(f"{e}I", buf, 5)
     assert nrings >= 1
-    (n,) = struct.unpack_from("<I", buf, 9)
-    return np.frombuffer(buf, dtype="<f8", count=2 * n, offset=13).reshape(n, 2)
+    (n,) = struct.unpack_from(f"{e}I", buf, 9)
+    a = np.frombuffer(buf, dtype=f"{e}f8", count=2 * n, offset=13).reshape(n, 2)
+    return a.astype(np.float64) if e == ">" else a
 
 
 def polygon_to_wkb_rings(rings: list[np.ndarray]) -> bytes:
@@ -124,15 +147,16 @@ def multipolygon_to_wkb(parts: list[list[np.ndarray]]) -> bytes:
 
 def polygon_rings_from_wkb(buf: bytes, offset: int = 0) -> tuple[list[np.ndarray], int]:
     """All rings of one polygon record; returns (rings, next offset)."""
-    assert buf[offset] == _LE
-    (t,) = struct.unpack_from("<I", buf, offset + 1)
+    e = _bo(buf, offset)
+    (t,) = struct.unpack_from(f"{e}I", buf, offset + 1)
     assert t == WKB_POLYGON, t
-    (nrings,) = struct.unpack_from("<I", buf, offset + 5)
+    (nrings,) = struct.unpack_from(f"{e}I", buf, offset + 5)
     p = offset + 9
     rings = []
     for _ in range(nrings):
-        (n,) = struct.unpack_from("<I", buf, p)
-        rings.append(np.frombuffer(buf, "<f8", 2 * n, p + 4).reshape(n, 2))
+        (n,) = struct.unpack_from(f"{e}I", buf, p)
+        a = np.frombuffer(buf, f"{e}f8", 2 * n, p + 4).reshape(n, 2)
+        rings.append(a.astype(np.float64) if e == ">" else a)
         p += 4 + 16 * n
     return rings, p
 
@@ -140,13 +164,13 @@ def polygon_rings_from_wkb(buf: bytes, offset: int = 0) -> tuple[list[np.ndarray
 def multipolygon_from_wkb(buf: bytes) -> list[list[np.ndarray]]:
     """F9 decode (reference noise_data_preprocessing.py:26-41 explodes
     multi→single parts): list of polygons, each a list of rings."""
-    assert buf[0] == _LE
     t = wkb_type(buf)
     if t == WKB_POLYGON:  # single part rides through unchanged
         rings, _ = polygon_rings_from_wkb(buf)
         return [rings]
     assert t == WKB_MULTIPOLYGON, t
-    (nparts,) = struct.unpack_from("<I", buf, 5)
+    e = _bo(buf)
+    (nparts,) = struct.unpack_from(f"{e}I", buf, 5)
     out, off = [], 9
     for _ in range(nparts):
         rings, off = polygon_rings_from_wkb(buf, off)
@@ -162,4 +186,4 @@ def rect_to_wkb(minx: float, miny: float, maxx: float, maxy: float) -> bytes:
 
 
 def wkb_type(buf: bytes) -> int:
-    return struct.unpack_from("<I", buf, 1)[0]
+    return struct.unpack_from(f"{_bo(buf)}I", buf, 1)[0]

@@ -251,3 +251,69 @@ def test_poly_union_trapezoids_rect_parity_and_disjoint():
         yt = yt0 + fr * (yt1 - yt0)
         counts += (inx & (pts[:, 1] > yb) & (pts[:, 1] < yt)).astype(int)
     assert counts.max() <= 1
+
+
+def test_wkb_big_endian_decode():
+    """Every decoder honors the per-record XDR flag (OGC 06-103r4 §8):
+    byte-swapped buffers decode to the same geometry, including mixed
+    orders inside one MultiPolygon, and the native Column type filter
+    reads the right byte."""
+    import struct
+
+    def swap_point(x, y):
+        return struct.pack(">BIdd", 0, 1, x, y)
+
+    def swap_linestring(coords):
+        out = struct.pack(">BII", 0, 2, len(coords))
+        for x, y in coords:
+            out += struct.pack(">dd", x, y)
+        return out
+
+    def swap_polygon(rings):
+        out = struct.pack(">BII", 0, 3, len(rings))
+        for r in rings:
+            out += struct.pack(">I", len(r))
+            for x, y in r:
+                out += struct.pack(">dd", x, y)
+        return out
+
+    assert wkb.point_from_wkb(swap_point(3.5, -7.25)) == (3.5, -7.25)
+    x, y = wkb.points_from_wkb([swap_point(1.0, 2.0), wkb.points_to_wkb(
+        np.array([5.0]), np.array([6.0]))[0]])
+    np.testing.assert_array_equal(x, [1.0, 5.0])
+    np.testing.assert_array_equal(y, [2.0, 6.0])
+
+    coords = [(0.0, 0.0), (10.5, 2.0), (20.0, -3.0)]
+    np.testing.assert_array_equal(
+        wkb.linestring_from_wkb(swap_linestring(coords)), coords
+    )
+    ring = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    hole = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)]
+    got = wkb.polygon_rings_from_wkb(swap_polygon([ring, hole]))[0]
+    np.testing.assert_array_equal(got[0], ring)
+    np.testing.assert_array_equal(got[1], hole)
+    assert wkb.wkb_type(swap_polygon([ring])) == wkb.WKB_POLYGON
+
+    # mixed-order multipolygon: XDR outer header, NDR + XDR parts
+    mp = struct.pack(">BII", 0, 6, 2)
+    mp += wkb.polygon_to_wkb_rings([np.array(ring, float)])
+    mp += swap_polygon([hole])
+    parts = wkb.multipolygon_from_wkb(mp)
+    assert len(parts) == 2
+    np.testing.assert_array_equal(parts[0][0], ring)
+    np.testing.assert_array_equal(parts[1][0], hole)
+
+
+def test_wkb_type_expr_big_endian(spark):
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.pipelines.graph_export import wkb_type_expr
+    import struct
+
+    ndr = wkb.rect_to_wkb(0, 0, 1, 1)
+    xdr = struct.pack(">BII", 0, 3, 1) + struct.pack(">I", 5) + b"\x00" * 80
+    df = spark.createDataFrame(
+        [(1, bytearray(ndr)), (2, bytearray(xdr))], "i long, geom binary"
+    )
+    got = {r.i: r.t for r in df.select("i", wkb_type_expr(F.col("geom")).alias("t")).collect()}
+    assert got == {1: wkb.WKB_POLYGON, 2: wkb.WKB_POLYGON}
