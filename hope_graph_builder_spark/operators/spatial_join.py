@@ -234,6 +234,8 @@ def dwithin_join(
     y: str = "y",
     point_id: str = "doc_id",
     broadcast_points: bool = False,
+    salt: int = 1,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """points × 2-vertex segments within ``dist`` meters — fully native.
 
@@ -243,7 +245,13 @@ def dwithin_join(
     with exact point-segment distance² ≤ dist² (pure arithmetic —
     stays in whole-stage codegen).
     ``segments`` must carry x1, y1, x2, y2.
-    """
+
+    Skew: same valve as the PIP joins — ``salt``/``hot`` spray the
+    point side by pmod(xxhash64(point_id), k) and replicate the
+    cover-exploded segment side k× (hot: only in profiled hot cells),
+    joined on the packed single-long (cell, salt) key. A dense page
+    hotspot otherwise lands every pair of its cell in one task at
+    100 TB. Salted ≡ unsalted is pytest-asserted."""
     d = F.lit(float(dist))
     seg = (
         segments
@@ -256,7 +264,8 @@ def dwithin_join(
         "_minx", "_miny", "_maxx", "_maxy"
     )
     p = with_point_cell(points, x, y, res)
-    cand = g.join(F.broadcast(p) if broadcast_points else p, CELL, "inner").drop(CELL)
+    p, g, keys = _apply_salt(p, g, point_id, salt, hot)
+    cand = g.join(F.broadcast(p) if broadcast_points else p, keys, "inner").drop(*keys)
     dx = F.col("x2") - F.col("x1")
     dy = F.col("y2") - F.col("y1")
     seg2 = dx * dx + dy * dy

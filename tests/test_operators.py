@@ -144,3 +144,28 @@ def test_kmeans_lloyd_converges_and_feeds_ivf(spark):
     got = {(r.query_id, r.rank): r.cand_id for r in ivf.collect()}
     want = {(r.query_id, r.rank): r.cand_id for r in exact.collect()}
     assert got == want
+
+
+def test_dwithin_salting_preserves_results(spark):
+    """dwithin_join salted / profile-hot ≡ unsalted on the synthetic
+    hotspot data (the skew those valves exist for)."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark import synth
+    from hope_graph_builder_spark.operators.spatial_join import (
+        dwithin_join,
+        hot_cell_factors,
+        with_point_cell,
+    )
+    from tests.conftest import SF_TINY
+
+    pts = synth.page_points(spark, SF_TINY).select("doc_id", "x", "y")
+    edges = synth.page_edges(spark, SF_TINY).select("edge_id", "x1", "y1", "x2", "y2")
+    base = dwithin_join(pts, edges, dist=30.0, res=9).select("doc_id", "edge_id")
+    salted = dwithin_join(pts, edges, dist=30.0, res=9, salt=8).select("doc_id", "edge_id")
+    hot = hot_cell_factors(with_point_cell(pts, "x", "y", 9), threshold=5).localCheckpoint()
+    hotted = dwithin_join(pts, edges, dist=30.0, res=9, hot=hot).select("doc_id", "edge_id")
+    for other in (salted, hotted):
+        assert base.exceptAll(other).count() == 0
+        assert other.exceptAll(base).count() == 0
+    assert base.count() > 0
