@@ -225,6 +225,55 @@ def q_overlay_concave(spark, sf_dir):
 
 
 @register(
+    "overlay_capsule",
+    f"""
+    WITH edges AS ({synth.sql_capsule_edges()}),
+    polys AS ({synth.sql_capsule_polys_duckdb()}),
+    pair AS (
+      SELECT e.edge_id, p.veg_class, p.poly_id,
+             sqrt((e.x2 - e.x1) * (e.x2 - e.x1) + (e.y2 - e.y1) * (e.y2 - e.y1)) * 60.0
+               + pi() * 900.0 AS buf_area,
+             greatest(0.0, least(greatest(e.x1, e.x2), p.maxx) - greatest(least(e.x1, e.x2), p.minx))
+             * greatest(0.0, least(e.y1 + 30.0, p.maxy) - greatest(e.y1 - 30.0, p.miny))
+             + (CASE WHEN e.x1 - 30.0 >= p.minx AND e.x1 + 30.0 <= p.maxx
+                      AND e.y1 - 30.0 >= p.miny AND e.y1 + 30.0 <= p.maxy
+                 THEN pi() * 450.0 ELSE 0.0 END)
+             + (CASE WHEN e.x2 - 30.0 >= p.minx AND e.x2 + 30.0 <= p.maxx
+                      AND e.y2 - 30.0 >= p.miny AND e.y2 + 30.0 <= p.maxy
+                 THEN pi() * 450.0 ELSE 0.0 END)
+             AS area
+      FROM edges e JOIN polys p
+        ON least(e.x1, e.x2) - 30.0 < p.maxx AND greatest(e.x1, e.x2) + 30.0 > p.minx
+       AND e.y1 - 30.0 < p.maxy AND e.y1 + 30.0 > p.miny
+    ),
+    q AS (
+      SELECT edge_id, veg_class, buf_area,
+             CAST(round(area * 1000.0) AS BIGINT) AS area_qv
+      FROM pair
+    )
+    SELECT edge_id, veg_class,
+           (CAST(sum(area_qv) AS DOUBLE) / 1000.0) / min(buf_area) AS share
+    FROM q WHERE area_qv > 0 GROUP BY edge_id, veg_class
+    """,
+)
+def q_overlay_capsule(spark, sf_dir):
+    """J7 with TRUE round-cap buffers (overlay_share_round): the
+    engine integrates each capsule's circular caps exactly
+    (Green's-theorem disk kernel); the oracle's closed form holds
+    because the fixture keeps every cap disk cleanly inside (πr²/2)
+    or outside (0) its polygon while the core rectangle crosses
+    boundaries for real. The reference itself only approximates these
+    caps (ST_Buffer quad_segs=8)."""
+    from hope_graph_builder_spark.pipelines.overlay import overlay_share_round
+
+    return overlay_share_round(
+        synth.capsule_edges(spark, sf_dir),
+        synth.capsule_polys(spark),
+        res=7, dist=30.0, area_q=1000.0,
+    )
+
+
+@register(
     "f10_dissolve_union",
     f"""
     WITH veg AS ({synth.sql_veg_overlapping_duckdb()}),

@@ -155,6 +155,79 @@ def dissolve_union_geometry(
     return rects.groupBy(*group_cols).applyInPandas(fn, schema=schema)
 
 
+def overlay_share_round(
+    edges: DataFrame, polys: DataFrame, res: int = 8, dist: float = 30.0,
+    geom: str = "geom", area_q: float = 1000.0,
+) -> DataFrame:
+    """ROUND-CAP buffer overlay — exact circular geometry: the
+    reference's PostGIS ST_Buffer discretizes each cap with
+    quad_segs=8 arcs (land_cover_overlay_analysis.py:87-143); this
+    path integrates the true capsule boundary exactly
+    (kernels.capsule_area_rings: oriented core rect via signed-fan
+    clip + two half-disk Green's-theorem integrations), so the only
+    deviation from the reference is that OUR caps are not an 8-segment
+    approximation. share = area / (L·2r + πr²), the exact capsule
+    area. Same single-cover-join plan shape as the other overlay
+    paths."""
+    import math
+
+    b = edge_buffer_rect(edges, dist)
+    bc = with_cover_cells(
+        b.select("edge_id", "x1", "y1", "x2", "y2",
+                 "bminx", "bminy", "bmaxx", "bmaxy"),
+        "bminx", "bminy", "bmaxx", "bmaxy", res,
+    )
+    vc = with_cover_cells(polys, "minx", "miny", "maxx", "maxy", res)
+    canon = cell_id_expr(
+        F.greatest(F.col("bminx"), F.col("minx")),
+        F.greatest(F.col("bminy"), F.col("miny")),
+        res,
+    )
+    buf_area = (
+        F.sqrt(
+            (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+            + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+        ) * F.lit(2.0 * float(dist))
+        + F.lit(math.pi) * F.lit(float(dist) * float(dist))
+    )
+    cand = (
+        bc.join(vc, CELL, "inner")
+        .filter(F.col(CELL) == canon)
+        .select("edge_id", "veg_class", "poly_id", geom,
+                "x1", "y1", "x2", "y2", buf_area.alias("buf_area"))
+    )
+    r = float(dist)
+
+    def clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hope_graph_builder_spark.spatial.kernels import capsule_area_rings
+
+        for pdf in batches:
+            areas = np.zeros(len(pdf))
+            for i, (buf, ex1, ey1, ex2, ey2) in enumerate(
+                zip(pdf[geom], pdf.x1, pdf.y1, pdf.x2, pdf.y2)
+            ):
+                parts = multipolygon_from_wkb(bytes(buf))
+                areas[i] = capsule_area_rings(parts, ex1, ey1, ex2, ey2, r)
+            yield pd.DataFrame(
+                {
+                    "edge_id": pdf.edge_id,
+                    "veg_class": pdf.veg_class,
+                    "area": areas,
+                    "buf_area": pdf.buf_area,
+                }
+            )
+
+    inter = cand.mapInPandas(
+        clip, schema="edge_id long, veg_class string, area double, buf_area double"
+    )
+    return (
+        inter.withColumn("area_qv", F.round(F.col("area") * F.lit(float(area_q))).cast("long"))
+        .filter(F.col("area_qv") > 0)
+        .groupBy("edge_id", "veg_class")
+        .agg(((F.sum("area_qv").cast("double") / F.lit(float(area_q))) / F.min("buf_area")).alias("share"))
+    )
+
+
 def dissolve_union_geometry_general(
     polys: DataFrame, group_cols: list[str] | None = None, geom: str = "geom"
 ) -> DataFrame:

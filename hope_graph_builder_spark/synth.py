@@ -565,6 +565,83 @@ def sql_dissolve_concave_union_duckdb() -> str:
     """
 
 
+N_CAPSULE_POLYS = 50
+
+
+def capsule_polys(spark: SparkSession) -> DataFrame:
+    """Rect vegetation polys on a margin-rich grid for the round-cap
+    overlay oracle: every fixture edge's cap disk is either ≥100 m
+    clear inside a poly or clear outside it, so cap contributions are
+    exactly 0 or πr²/2 and the oracle stays closed-form while the
+    engine integrates the circles for real."""
+    from hope_graph_builder_spark.spatial.wkb import rect_to_wkb
+
+    rows = []
+    for t in range(N_CAPSULE_POLYS):
+        gx, gy = t % 10, t // 10
+        a, b = gx * 3000.0 + 500.0, gy * 3000.0 + 500.0
+        c, d = gx * 3000.0 + 2000.0, gy * 3000.0 + 1700.0
+        rows.append((int(t), "low" if t % 2 == 0 else "high",
+                     bytearray(rect_to_wkb(a, b, c, d)), a, b, c, d))
+    return spark.createDataFrame(
+        rows,
+        "poly_id long, veg_class string, geom binary, "
+        "minx double, miny double, maxx double, maxy double",
+    )
+
+
+def sql_capsule_polys_duckdb() -> str:
+    return f"""
+    SELECT t AS poly_id,
+           CASE WHEN t % 2 = 0 THEN 'low' ELSE 'high' END AS veg_class,
+           CAST((t % 10) * 3000 + 500 AS DOUBLE) AS minx,
+           CAST((t // 10) * 3000 + 500 AS DOUBLE) AS miny,
+           CAST((t % 10) * 3000 + 2000 AS DOUBLE) AS maxx,
+           CAST((t // 10) * 3000 + 1700 AS DOUBLE) AS maxy
+    FROM (SELECT unnest(range(0, {N_CAPSULE_POLYS})) AS t)
+    """
+
+
+def capsule_edge_fragments(id_col: str = "doc_id") -> dict[str, str]:
+    """Horizontal integer edges in four scenarios s = (id*7)%4:
+    0 = capsule fully inside its tile's poly; 1 = crossing the poly's
+    LEFT x-boundary (cap1 clear outside, cap2 clear inside); 2 = fully
+    outside (below the poly); 3 = crossing the RIGHT boundary (cap1
+    in, cap2 out). Caps never straddle a boundary."""
+    gx = f"({id_col} % 10)"
+    gy = f"(CAST(floor({id_col} / 10) AS BIGINT) % 5)"
+    s = f"(({id_col} * 7) % 4)"
+    y = (f"CAST({gy} * 3000 + (CASE WHEN {s} = 2 THEN 300 "
+         f"ELSE 1100 + ({id_col} * 17 % 5) * 50 END) AS DOUBLE)")
+    x1 = (f"CAST({gx} * 3000 + (CASE "
+          f"WHEN {s} = 1 THEN 380 + ({id_col} * 11 % 3) * 20 "
+          f"WHEN {s} = 3 THEN 1700 + ({id_col} * 11 % 3) * 20 "
+          f"ELSE 700 + ({id_col} * 11 % 10) * 20 END) AS DOUBLE)")
+    dx = (f"CAST((CASE WHEN {s} = 1 THEN 300 WHEN {s} = 3 THEN 330 "
+          f"ELSE 200 + ({id_col} * 13 % 5) * 40 END) AS DOUBLE)")
+    return {"x1": x1, "y": y, "dx": dx}
+
+
+def capsule_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = capsule_edge_fragments()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return d.select(
+        F.col("doc_id").alias("edge_id"),
+        F.expr(fr["x1"]).alias("x1"),
+        F.expr(fr["y"]).alias("y1"),
+        (F.expr(fr["x1"]) + F.expr(fr["dx"])).alias("x2"),
+        F.expr(fr["y"]).alias("y2"),
+    )
+
+
+def sql_capsule_edges(table: str = "documents") -> str:
+    fr = capsule_edge_fragments()
+    return (
+        f"SELECT doc_id AS edge_id, {fr['x1']} AS x1, {fr['y']} AS y1, "
+        f"{fr['x1']} + {fr['dx']} AS x2, {fr['y']} AS y2 FROM {table}"
+    )
+
+
 def veg_rects_overlapping(spark: SparkSession) -> DataFrame:
     """Vegetation grid WITH deliberate intra-class overlaps (every
     (gx+gy)%3==0 rect gets an (+800,+600)-shifted twin) — the F10

@@ -317,3 +317,42 @@ def test_wkb_type_expr_big_endian(spark):
     )
     got = {r.i: r.t for r in df.select("i", wkb_type_expr(F.col("geom")).alias("t")).collect()}
     assert got == {1: wkb.WKB_POLYGON, 2: wkb.WKB_POLYGON}
+
+
+def test_capsule_kernel_closed_forms_and_grid():
+    from hope_graph_builder_spark.spatial.kernels import (
+        capsule_area_rings,
+        capsule_ring_area,
+        point_segment_dist2,
+        points_in_rings,
+    )
+
+    r = 30.0
+    big = np.array([[-1000, -1000], [1000, -1000], [1000, 1000], [-1000, 1000]], float)
+    assert abs(capsule_ring_area(big, 0, 0, 100, 0, r) - (100 * 60 + np.pi * 900)) < 1e-9
+    # degenerate segment → full disk
+    assert abs(capsule_ring_area(big, 5, 5, 5, 5, r) - np.pi * 900) < 1e-9
+    # half-plane cut through the middle
+    half = np.array([[0, -1000], [1000, -1000], [1000, 1000], [0, 1000]], float)
+    assert abs(capsule_ring_area(half, -50, 0, 50, 0, r) - (50 * 60 + np.pi * 450)) < 1e-9
+
+    # slanted capsule × concave star with a hole, vs grid integration
+    rng = np.random.RandomState(3)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 15))
+    rad = rng.uniform(30, 90, 15)
+    star = np.column_stack([50 + rad * np.cos(ang), 40 + rad * np.sin(ang)])
+    hole = np.array([[30, 20], [60, 20], [60, 50], [30, 50]], float)
+    x1, y1, x2, y2 = -20.0, -10.0, 120.0, 70.0
+    exact = capsule_area_rings([[star, hole]], x1, y1, x2, y2, r)
+    n = 1500
+    gx, gy = np.meshgrid(
+        np.linspace(-80, 180, n, endpoint=False), np.linspace(-80, 160, n, endpoint=False)
+    )
+    px, py = gx.ravel(), gy.ravel()
+    ins = points_in_rings(px, py, [star, hole])
+    d2 = point_segment_dist2(
+        px, py, np.full_like(px, x1), np.full_like(px, y1),
+        np.full_like(px, x2), np.full_like(px, y2),
+    )
+    approx = (ins & (d2 <= r * r)).mean() * 260 * 240
+    assert abs(exact - approx) / approx < 2e-3

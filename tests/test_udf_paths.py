@@ -165,3 +165,26 @@ def test_dissolve_general_matches_rect_dissolve(spark):
     row = parts.iloc[0]
     ring = wkb.polygon_from_wkb(bytes(row.geom))
     assert ring[0][0] == row.x0 and ring[1][0] == row.x1
+
+
+def test_overlay_round_caps_through_spark(spark):
+    """overlay_share_round end-to-end: a capsule crossing a rect
+    boundary with one cap in, one out — share matches the closed
+    form (rect strip + half-disk) / capsule area."""
+    import math
+
+    from hope_graph_builder_spark.pipelines.overlay import overlay_share_round
+
+    edges = spark.createDataFrame(
+        [(1, 400.0, 1000.0, 700.0, 1000.0)],
+        "edge_id long, x1 double, y1 double, x2 double, y2 double",
+    )
+    polys = spark.createDataFrame(
+        [(7, "low", bytearray(wkb.rect_to_wkb(500.0, 500.0, 2000.0, 1700.0)),
+          500.0, 500.0, 2000.0, 1700.0)],
+        "poly_id long, veg_class string, geom binary, minx double, miny double, maxx double, maxy double",
+    )
+    out = overlay_share_round(edges, polys, res=7).collect()
+    assert len(out) == 1
+    want = ((700.0 - 500.0) * 60.0 + math.pi * 450.0) / (300.0 * 60.0 + math.pi * 900.0)
+    assert abs(out[0]["share"] - want) < 1e-6
