@@ -97,6 +97,45 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 @register(
+    "d_dedup_clusters",
+    f"""
+    WITH sigs AS ({{sig}}),
+    bb AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(list_transform(
+                 list_slice(sig, b.range * 4 + 1, b.range * 4 + 4),
+                 x -> CAST(x AS VARCHAR)), ',')) AS bucket
+      FROM sigs, range(0, {{bands}}) b
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    members AS (SELECT DISTINCT a AS id FROM sym),
+    walk AS (
+      WITH RECURSIVE w(id, seed) AS (
+        SELECT id, id FROM members
+        UNION
+        SELECT s.b, w.seed FROM w JOIN sym s ON s.a = w.id
+      ) SELECT * FROM w
+    ),
+    comp AS (SELECT id, min(seed) AS component FROM walk GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(comp.component, d.doc_id) AS cluster_id,
+           coalesce(comp.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+    """.format(sig=_sql_minhash_sig(), bands=dedup.BANDS),
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING (the step the pair list feeds in a real CC
+    pipeline): LSH pairs → weak components → min-id cluster label +
+    canonical keep flag per document. Oracle: the pair CTE composed
+    with the recursive-CTE reachability closure."""
+    return dedup.dedup_clusters(_docs(spark, sf_dir))
+
+
+@register(
     "d_lsh_jaccard_verify",
     f"""
     WITH sigs AS ({_sql_minhash_sig()}),

@@ -105,6 +105,38 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def dedup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The standard web-corpus dedup step the pair list feeds:
+    near-duplicate CLUSTERS. MinHash+LSH candidate pairs → weak
+    connected components over the pair graph → every document labeled
+    with its cluster (min id in the component; singletons label
+    themselves) and a ``keep`` flag for the canonical representative.
+    Downstream, `df.join(clusters, id).filter("keep")` is the dedup.
+
+    100 TB shape: the pair graph is SPARSE (LSH-bucketed, not
+    all-pairs), components run the iterative min-label propagation
+    (operators/graph.py — localCheckpoint lineage cuts, fail-loud),
+    and the final label attach is one broadcast-or-shuffle left join;
+    non-candidate documents never enter the iteration."""
+    from hope_graph_builder_spark.operators.graph import connected_components
+
+    pairs = minhash_dup_pairs(df, text_col, id_col)
+    comp = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash over token hashes: bit b set iff the majority of tokens
     have bit b set. Native bit arithmetic over one token-hash array

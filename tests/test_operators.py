@@ -169,3 +169,26 @@ def test_dwithin_salting_preserves_results(spark):
         assert base.exceptAll(other).count() == 0
         assert other.exceptAll(base).count() == 0
     assert base.count() > 0
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    from hope_graph_builder_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, base),        # near/exact dups
+         (10, "completely different content about spark engines " * 8),
+         (11, "completely different content about spark engines " * 8),  # dup pair
+         (20, "a lone unique document with its own words entirely " * 6)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.dedup_clusters(docs).collect()}
+    assert out[1].cluster_id == 1 and out[3].cluster_id == 1
+    assert out[2].cluster_id == 1  # transitive via shared buckets
+    assert out[10].cluster_id == 10 and out[11].cluster_id == 10
+    assert out[20].cluster_id == 20 and out[20].keep
+    keeps = [d for d, r in out.items() if r.keep]
+    assert sorted(keeps) == [1, 10, 20]
+    # exactly one canonical per cluster
+    clusters = {r.cluster_id for r in out.values()}
+    assert len(keeps) == len(clusters)
