@@ -667,6 +667,79 @@ def q_extract_text(spark, sf_dir):
     )
 
 
+@register(
+    "w_webtext_ingest",
+    f"""
+    WITH sigs AS ({{sig}}),
+    bb AS (
+      SELECT doc_id, b.range AS band,
+             md5(array_to_string(list_transform(
+                 list_slice(sig, b.range * 4 + 1, b.range * 4 + 4),
+                 x -> CAST(x AS VARCHAR)), ',')) AS bucket
+      FROM sigs, range(0, {{bands}}) b
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    members AS (SELECT DISTINCT a AS id FROM sym),
+    walk AS (
+      WITH RECURSIVE w(id, seed) AS (
+        SELECT id, id FROM members
+        UNION
+        SELECT s.b, w.seed FROM w JOIN sym s ON s.a = w.id
+      ) SELECT * FROM w
+    ),
+    comp AS (SELECT id, min(seed) AS component FROM walk GROUP BY id),
+    q AS (
+      SELECT doc_id, round_even(
+        0.4 * least(1.0, CAST(len({{toks}}) AS DOUBLE) / 100.0)
+        + 0.3 * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+            THEN CAST({{occ_dot}} + {{occ_comma}} + {{occ_bang}} AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 10.0)
+        + 0.3 * least(1.0, (CASE WHEN len({{toks}}) > 0
+            THEN CAST({{mark_en}} AS DOUBLE) / CAST(len({{toks}}) AS DOUBLE)
+            ELSE 0.0 END) * 8.0), 6) AS quality
+      FROM documents
+    )
+    SELECT d.doc_id,
+           'https://example.org/' || d.lang || '/' || d.doc_id AS url,
+           CASE {{lang_case}} ELSE 'und' END AS lang_pred,
+           q.quality,
+           CAST(len({{toks}}) AS BIGINT) AS n_tokens,
+           coalesce(comp.component, d.doc_id) AS cluster_id,
+           (coalesce(comp.component, d.doc_id) = d.doc_id
+            AND q.quality >= CAST(0.5 AS DOUBLE)) AS keep
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN comp ON comp.id = d.doc_id
+    """.format(
+        sig=_sql_minhash_sig(), bands=dedup.BANDS, toks=_SQL_TOKENS,
+        occ_dot=_sql_occ("text", "."), occ_comma=_sql_occ("text", ","),
+        occ_bang=_sql_occ("text", "!"),
+        mark_en=_sql_marker("en"),
+        lang_case=" ".join(
+            f"WHEN ({_sql_marker(lg)}) > 0 AND ({_sql_marker(lg)}) = "
+            f"greatest({', '.join(f'({_sql_marker(l2)})' for l2 in text.LANG_MARKERS)})"
+            f" THEN '{lg}'" for lg in text.LANG_MARKERS
+        ),
+    ),
+)
+def q_webtext_ingest(spark, sf_dir):
+    """The composed CC-style ingest (pipelines/webtext): extraction is
+    byte-identical to the ground-truth text (t_extract_text pins
+    that), so the oracle computes every signal — language, quality,
+    token count, near-dup cluster, canonical∧quality keep — directly
+    on documents.text and the whole pipeline output must value-match."""
+    from hope_graph_builder_spark import synth
+    from hope_graph_builder_spark.operators.extract import markup_pages
+    from hope_graph_builder_spark.pipelines.webtext import run_webtext_ingest
+
+    return run_webtext_ingest(markup_pages(synth.pages(spark, sf_dir)))
+
+
+
 def _sql_cos(a: str, b: str) -> str:
     return (
         f"{_SQL_VDOT.format(a=a, b=b)}"

@@ -171,15 +171,36 @@ def test_trapezoid_union_matches_rect_union(rects):
     assert abs(trapezoid_areas(parts).sum() - want) <= 1e-6 * max(want, 1.0)
 
 
-@given(rings(min_pts=3, max_pts=10),
+@st.composite
+def simple_rings(draw, min_pts=3, max_pts=12):
+    """Star-shaped rings (sorted angles, positive radii) — always
+    SIMPLE, which is the documented contract of the clip kernels
+    (arbitrary point sequences produce bowties the signed-fan area is
+    not defined on)."""
+    n = draw(st.integers(min_pts, max_pts))
+    angs = sorted(
+        draw(st.lists(st.floats(0, 6.28, allow_nan=False, width=64),
+                      min_size=n, max_size=n, unique=True))
+    )
+    rads = draw(st.lists(st.floats(1, 300, allow_nan=False, width=64),
+                         min_size=n, max_size=n))
+    cx = draw(st.floats(-200, 400, allow_nan=False, width=64))
+    cy = draw(st.floats(-200, 400, allow_nan=False, width=64))
+    pts = np.array([
+        [cx + r * np.cos(a), cy + r * np.sin(a)] for a, r in zip(angs, rads)
+    ])
+    return np.vstack([pts, pts[:1]])
+
+
+@given(simple_rings(),
        st.floats(10, 400, allow_nan=False, width=64),
        st.floats(10, 400, allow_nan=False, width=64))
 @settings(max_examples=60, deadline=None,
           suppress_health_check=[HealthCheck.filter_too_much])
 def test_general_clip_bounded_and_consistent(ring, w, h):
-    """ring_clip_area is bounded by both the clip area and the ring's
-    own |shoelace| area, and clipping by a huge window returns the
-    ring's full area."""
+    """For SIMPLE rings: clip area is bounded by the window area AND
+    by the ring's own area, and clipping by an all-containing window
+    returns exactly the shoelace area."""
     from hope_graph_builder_spark.spatial.kernels import (
         ring_clip_area,
         shoelace_area,
@@ -187,14 +208,12 @@ def test_general_clip_bounded_and_consistent(ring, w, h):
 
     win = np.array([[0, 0], [w, 0], [w, h], [0, h]], float)
     a = ring_clip_area(ring, win)
-    full = shoelace_area(ring[:-1]) if len(ring) > 3 else 0.0
-    # self-intersecting random rings make |shoelace| a lower-ish bound;
-    # use the fan-sum invariant instead: clip by a window containing
-    # everything equals the unclipped fan area
+    full = shoelace_area(ring[:-1])
     big = np.array([[-2e6, -2e6], [2e6, -2e6], [2e6, 2e6], [-2e6, 2e6]], float)
-    assert a <= w * h + 1e-6
-    assert ring_clip_area(ring, big) <= 4e6 * 4e6
-    assert a <= ring_clip_area(ring, big) + 1e-6
+    tol = 1e-9 * max(full, 1.0)
+    assert a <= w * h + tol
+    assert a <= full + tol
+    assert abs(ring_clip_area(ring, big) - full) <= tol
 
 
 @given(st.floats(-500, 500, width=64), st.floats(-500, 500, width=64),

@@ -109,3 +109,49 @@ def test_warc_feeds_pages_schema_and_extractor(spark, tmp_path):
     assert out["https://b.example/y"] == "Päge two"
     ts = {r["url"]: r["warc_ts"] for r in pages.collect()}
     assert ts["https://a.example/x"].isoformat().startswith("2024-03-01T10:00:00")
+
+
+def test_warc_through_webtext_ingest(spark, tmp_path):
+    """The full CC chain in one go: WARC file → pages → extraction →
+    signals → near-dup clusters → keep flags."""
+    from hope_graph_builder_spark.pipelines.webtext import run_webtext_ingest
+
+    body = ("<html><head><title>x</title></head><body><p>"
+            + "the quick brown fox jumps over the lazy dog and the cat " * 8
+            + "</p></body></html>").encode()
+    recs = []
+    for i, (url, payload) in enumerate([
+        ("https://a.example/1", body),
+        ("https://a.example/2", body),            # exact dup of 1
+        ("https://b.example/3", "<html><body><p>xs</p></body></html>".encode()),
+    ]):
+        recs.append(_record(
+            "response",
+            {"WARC-Record-ID": f"<urn:uuid:{i}>", "WARC-Target-URI": url,
+             "WARC-Date": "2024-03-01T10:00:00Z"},
+            _http(payload),
+        ))
+    p = tmp_path / "c.warc"
+    p.write_bytes(b"".join(recs))
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.sources.warc import read_warc_pages, warc_to_pages
+
+    pages = warc_to_pages(read_warc_pages(spark, str(p))).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    # stable small ids for cluster-canonical assertions
+    pages = pages.orderBy("url").withColumn(
+        "doc_id", F.row_number().over(__import__("pyspark").sql.window.Window.orderBy("url")).cast("long")
+    )
+    out = {r.url: r for r in run_webtext_ingest(pages).collect()}
+    assert out["https://a.example/1"].cluster_id == out["https://a.example/2"].cluster_id
+    assert out["https://a.example/1"].keep != out["https://a.example/2"].keep or (
+        not out["https://a.example/1"].keep and not out["https://a.example/2"].keep
+    )
+    kept = [u for u, r in out.items() if r.keep]
+    # the rich duplicated page survives once; the 2-word page fails the
+    # quality gate
+    assert kept == ["https://a.example/1"]
+    assert out["https://b.example/3"].quality < 0.5
+    assert out["https://a.example/1"].lang_pred == "en"
