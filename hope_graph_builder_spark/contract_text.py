@@ -167,6 +167,52 @@ def q_lsh_jaccard_verify(spark, sf_dir):
     return p.select("a", "b", F.bround("jaccard", 6).alias("jaccard"))
 
 
+def _sql_ngrams(n: int) -> str:
+    if n == 1:
+        return _SQL_TOKENS
+    return (
+        f"list_transform(range(1, len({_SQL_TOKENS}) - {n - 2}),"
+        f" i -> array_to_string(list_slice({_SQL_TOKENS}, i, i + {n - 1}), ' '))"
+    )
+
+
+def _sql_dup_ratio(n: int) -> str:
+    g = _sql_ngrams(n)
+    return (
+        f"CASE WHEN len({g}) > 0 THEN"
+        f" CAST(len({g}) - len(list_distinct({g})) AS DOUBLE)"
+        f" / CAST(len({g}) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+    )
+
+
+@register(
+    "t_repetition",
+    f"""
+    SELECT doc_id,
+           {_sql_dup_ratio(1)} AS dup_tok,
+           {_sql_dup_ratio(2)} AS dup_bi,
+           {_sql_dup_ratio(3)} AS dup_tri,
+           ({_sql_dup_ratio(1)} <= CAST(0.6 AS DOUBLE)
+            AND {_sql_dup_ratio(2)} <= CAST(0.4 AS DOUBLE)
+            AND {_sql_dup_ratio(3)} <= CAST(0.3 AS DOUBLE)) AS rep_pass
+    FROM documents
+    """,
+)
+def q_repetition(spark, sf_dir):
+    """Gopher-family repetition signals (duplicate word-n-gram
+    fractions, n=1..3) + the composed gate — the boilerplate/looped-
+    text filter a CC pipeline runs next to quality_score. Integer-count
+    ratios ⇒ the doubles oracle-compare exactly."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        text.dup_ngram_ratio(t, 1).alias("dup_tok"),
+        text.dup_ngram_ratio(t, 2).alias("dup_bi"),
+        text.dup_ngram_ratio(t, 3).alias("dup_tri"),
+        text.repetition_flags(t).alias("rep_pass"),
+    )
+
+
 def _sql_simhash_bit(b: int) -> str:
     """DuckDB twin of one 64-bit SimHash majority bit (bits ≥60 come
     from the '#b'-salted hash array — hash60 is only 60 bits wide)."""

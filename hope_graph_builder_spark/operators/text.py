@@ -83,6 +83,55 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def _lower_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), " "), lambda x: x != "")
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """n-grams of a token array as joined strings; empty below n."""
+    if n == 1:
+        return toks
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_ngram_ratio(text: Column, n: int) -> Column:
+    """Duplicate word-n-gram fraction = 1 − distinct/total — the
+    Gopher-family repetition signal (Rae et al. 2021 §A1.1 use
+    duplicate line/n-gram fractions to drop boilerplate and looped
+    text; CCNet/RefinedWeb apply the same family). Pure integer counts
+    → the double ratio is bit-identical in any engine. 0.0 for
+    documents shorter than n tokens."""
+    g = _word_ngrams(_lower_tokens(text), n)
+    total = F.size(g)
+    return F.when(
+        total > 0,
+        (total - F.size(F.array_distinct(g))).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_flags(
+    text: Column,
+    max_dup_token: float = 0.6,
+    max_dup_bigram: float = 0.4,
+    max_dup_trigram: float = 0.3,
+) -> Column:
+    """True iff the document passes every repetition gate (thresholds
+    are the Gopher-style defaults, tunable per corpus)."""
+    return (
+        (dup_ngram_ratio(text, 1) <= max_dup_token)
+        & (dup_ngram_ratio(text, 2) <= max_dup_bigram)
+        & (dup_ngram_ratio(text, 3) <= max_dup_trigram)
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized lowercased text."""

@@ -192,3 +192,30 @@ def test_dedup_clusters_transitive_and_singletons(spark):
     # exactly one canonical per cluster
     clusters = {r.cluster_id for r in out.values()}
     assert len(keeps) == len(clusters)
+
+
+def test_repetition_signals_hand_cases(spark):
+    from hope_graph_builder_spark.operators import text as textops
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"),            # 4 tokens, 2 distinct → dup_tok 0.5
+         (2, "x y x y x y"),        # bigrams: xy,yx,xy,yx,xy → 5 total 2 distinct
+         (3, "all words unique here"),
+         (4, "w"),                  # 1 token → bigram/trigram ratios 0
+         (5, "")],
+        "doc_id long, text string",
+    )
+    t = F.col("text")
+    out = {r.doc_id: r for r in docs.select(
+        "doc_id",
+        textops.dup_ngram_ratio(t, 1).alias("r1"),
+        textops.dup_ngram_ratio(t, 2).alias("r2"),
+        textops.repetition_flags(t).alias("ok"),
+    ).collect()}
+    assert out[1].r1 == 0.5
+    assert abs(out[2].r2 - 3.0 / 5.0) < 1e-15
+    assert out[3].r1 == 0.0 and out[3].ok
+    assert out[4].r2 == 0.0 and out[4].ok
+    assert out[5].r1 == 0.0
+    assert not out[2].ok  # looped text fails the bigram gate

@@ -172,20 +172,21 @@ def test_trapezoid_union_matches_rect_union(rects):
 
 
 @st.composite
-def simple_rings(draw, min_pts=3, max_pts=12):
-    """Star-shaped rings (sorted angles, positive radii) — always
-    SIMPLE, which is the documented contract of the clip kernels
-    (arbitrary point sequences produce bowties the signed-fan area is
-    not defined on)."""
+def simple_rings(draw, min_pts=4, max_pts=12):
+    """PROVABLY simple rings: vertices at jittered equally-spaced
+    angles around a center (every angular gap < π, so the polygon is
+    star-shaped w.r.t. an interior center and no edge can cross
+    another). Merely sorting random angles is NOT enough — when the
+    angles span less than the full circle, the closing edge can cut
+    the chain (a real counterexample hypothesis found)."""
     n = draw(st.integers(min_pts, max_pts))
-    angs = sorted(
-        draw(st.lists(st.floats(0, 6.28, allow_nan=False, width=64),
-                      min_size=n, max_size=n, unique=True))
-    )
+    jit = draw(st.lists(st.floats(-1, 1, allow_nan=False, width=64),
+                        min_size=n, max_size=n))
     rads = draw(st.lists(st.floats(1, 300, allow_nan=False, width=64),
                          min_size=n, max_size=n))
     cx = draw(st.floats(-200, 400, allow_nan=False, width=64))
     cy = draw(st.floats(-200, 400, allow_nan=False, width=64))
+    angs = [(i + 0.45 * j) * 2.0 * np.pi / n for i, j in enumerate(jit)]
     pts = np.array([
         [cx + r * np.cos(a), cy + r * np.sin(a)] for a, r in zip(angs, rads)
     ])
