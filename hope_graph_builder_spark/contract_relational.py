@@ -378,6 +378,32 @@ def q_f16(spark, sf_dir):
 
 
 @register(
+    "j_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS prev_event_id, r.ts AS prev_ts, r.value AS prev_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (point-in-time): for each click, the latest view by
+    the same user at or before it. Engine: the merge-sorted
+    union+window re-expression (operators/temporal.asof_join — one
+    exchange + one sort, no range blowup); oracle: DuckDB's NATIVE
+    ASOF JOIN, a fully independent implementation of the semantics."""
+    from hope_graph_builder_spark.operators.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(left, right, by="user_id", payload=["event_id", "ts", "value"])
+
+
+@register(
     "f18_combined",
     """
     SELECT event_id,

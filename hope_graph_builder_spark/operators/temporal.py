@@ -1,0 +1,66 @@
+"""Temporal operators Spark lacks natively — the as-of join.
+
+As-of (a.k.a. point-in-time / MERGE_ASOF) join: for every left row,
+the LATEST right row with ``right.ts <= left.ts`` within the same
+key — how event logs attach "state at the time" (last price before a
+trade, last page view before a click). Spark has no ASOF JOIN; the
+naive re-expression is a range theta-join (quadratic blowup per key).
+
+Re-expression here is the merge-sorted algorithm as ONE declarative
+plan: tag both sides, union, and run a single keyed, time-ordered
+window with a carry-forward ``last(payload, ignorenulls)`` — exactly
+one hash exchange on the key plus one sort, linear in rows at any
+scale (the same shape a native ASOF implementation produces).
+Verified value-exact against DuckDB's NATIVE ASOF JOIN — a fully
+independent implementation of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str = "ts",
+    payload: list[str] | None = None,
+    prefix: str = "prev_",
+) -> DataFrame:
+    """← left columns + ``prefix``-renamed right ``payload`` columns of
+    the latest right row with ``right[ts] <= left[ts]`` per ``by`` key
+    (NULLs when no prior right row — left-join semantics).
+
+    Ordering inside one timestamp: right rows sort BEFORE left rows
+    (``<=`` semantics: a right row at exactly left's ts matches), and
+    equal-ts right rows break ties on the first payload column — fully
+    deterministic."""
+    payload = payload or [c for c in right.columns if c != by]
+    pstruct = F.struct(*[F.col(c).alias(c) for c in payload])
+    r2 = right.select(
+        F.col(by),
+        F.col(ts).alias("_t"),
+        pstruct.alias("_p"),
+        F.lit(0).alias("_side"),
+    )
+    l2 = left.withColumn("_t", F.col(ts)).withColumn("_side", F.lit(1))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(
+            F.col("_t").asc(),
+            F.col("_side").asc(),
+            F.col("_p").getField(payload[0]).asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        u.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    for c in payload:
+        out = out.withColumn(prefix + c, F.col("_m").getField(c))
+    return out.drop("_t", "_side", "_p", "_m")

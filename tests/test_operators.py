@@ -219,3 +219,33 @@ def test_repetition_signals_hand_cases(spark):
     assert out[4].r2 == 0.0 and out[4].ok
     assert out[5].r1 == 0.0
     assert not out[2].ok  # looped text fails the bigram gate
+
+
+def test_asof_join_semantics(spark):
+    """≤-semantics, latest-wins, per-key isolation, NULL when no prior."""
+    from datetime import datetime
+
+    from hope_graph_builder_spark.operators.temporal import asof_join
+
+    T = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 7, T("2024-01-01T10:00:00")),
+         (2, 7, T("2024-01-01T12:00:00")),
+         (3, 8, T("2024-01-01T09:00:00")),   # no prior view for user 8
+         (4, 9, T("2024-01-01T11:00:00"))],  # exact-ts match
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, 100, T("2024-01-01T09:30:00"), 1.0),
+         (7, 101, T("2024-01-01T11:30:00"), 2.0),
+         (8, 102, T("2024-01-01T09:30:00"), 3.0),   # AFTER left 3 → no match
+         (9, 103, T("2024-01-01T11:00:00"), 4.0)],  # ts == left 4 ts → matches
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = {r.event_id: r for r in asof_join(
+        left, right, by="user_id", payload=["event_id", "ts", "value"]
+    ).collect()}
+    assert out[1].prev_event_id == 100 and out[1].prev_value == 1.0
+    assert out[2].prev_event_id == 101   # latest of the two priors
+    assert out[3].prev_event_id is None and out[3].prev_ts is None
+    assert out[4].prev_event_id == 103   # <= includes the exact tie
