@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hope_graph_builder_spark import synth
 from hope_graph_builder_spark.contract import register
 
 
@@ -374,6 +375,57 @@ def q_f16(spark, sf_dir):
         .select("l_returnflag", "l_linestatus")
         .distinct()
         .withColumn("way_id", F.dense_rank().over(w))
+    )
+
+
+@register(
+    "f_ring_area_centroid",
+    f"""
+    WITH p AS ({synth.sql_polylines()}),
+    t AS (
+      SELECT edge_id, xs, ys, len(xs) AS n,
+             list_transform(range(1, len(xs) + 1),
+               i -> xs[i] * ys[(i % len(xs)) + 1] - xs[(i % len(xs)) + 1] * ys[i]) AS ct
+      FROM p
+    ),
+    a AS (
+      SELECT edge_id, xs, ys, n, ct,
+             list_reduce(ct, (u, v) -> u + v) / CAST(2 AS DOUBLE) AS a_signed
+      FROM t
+    )
+    SELECT edge_id,
+           abs(list_reduce(ct, (u, v) -> u + v)) / CAST(2 AS DOUBLE) AS ring_area,
+           CASE WHEN abs(a_signed) > 1e-9 THEN
+             list_reduce(list_transform(range(1, n + 1),
+               i -> (xs[i] + xs[(i % n) + 1]) * ct[i]), (u, v) -> u + v)
+             / (CAST(6 AS DOUBLE) * a_signed) END AS cx,
+           CASE WHEN abs(a_signed) > 1e-9 THEN
+             list_reduce(list_transform(range(1, n + 1),
+               i -> (ys[i] + ys[(i % n) + 1]) * ct[i]), (u, v) -> u + v)
+             / (CAST(6 AS DOUBLE) * a_signed) END AS cy
+    FROM a
+    """,
+)
+def q_ring_area_centroid(spark, sf_dir):
+    """Native geometry SCALARS over coordinate-array columns: shoelace
+    area + centroid as pure Column folds (operators/geometry.
+    polygon_area_expr / polygon_centroid_expr) — ring math without WKB
+    decode or UDF, inside whole-stage codegen. Oracle = the identical
+    sequential folds in DuckDB, so even the centroid doubles match
+    bit-for-bit; degenerate rings NULL out under the same float
+    guard."""
+    from hope_graph_builder_spark.operators.geometry import (
+        polygon_area_expr,
+        polygon_centroid_expr,
+    )
+
+    p = synth.page_polylines(spark, sf_dir)
+    cx, cy = polygon_centroid_expr(F.col("xs"), F.col("ys"))
+    return p.select(
+        "edge_id",
+        polygon_area_expr(F.col("xs"), F.col("ys")).alias("ring_area"),
+        cx.alias("cx"),
+        cy.alias("cy"),
     )
 
 

@@ -78,6 +78,62 @@ def ring_boundary_intersects_rect(
     return F.when(F.size(xs) >= 2, hit).otherwise(F.lit(False))
 
 
+def shoelace_terms_expr(xs: Column, ys: Column) -> Column:
+    """Cross-product terms x_i·y_{i+1} − x_{i+1}·y_i over the CLOSED
+    ring (wrap via i % n + 1) — the shared building block of the
+    native area/centroid expressions below."""
+    n = F.size(xs)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: (
+            F.element_at(xs, i.cast("int"))
+            * F.element_at(ys, (F.pmod(i, n) + 1).cast("int"))
+            - F.element_at(xs, (F.pmod(i, n) + 1).cast("int"))
+            * F.element_at(ys, i.cast("int"))
+        ),
+    )
+
+
+def polygon_area_expr(xs: Column, ys: Column) -> Column:
+    """Shoelace area of a ring held as coordinate ARRAY columns —
+    entirely native (sequence/transform/aggregate fold), so ring area
+    stays inside whole-stage codegen with zero UDF or WKB decode. The
+    fold is sequential, matching DuckDB list_reduce for oracle-exact
+    floats."""
+    s = F.aggregate(
+        shoelace_terms_expr(xs, ys), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.abs(s) / F.lit(2.0)
+
+
+def polygon_centroid_expr(xs: Column, ys: Column) -> tuple[Column, Column]:
+    """Ring centroid (Cx, Cy) = Σ(p_i+p_{i+1})·cross_i / (6·A_signed),
+    native folds; NULL for degenerate (near-zero-area) rings — the
+    guard runs on the identical float both engines compute."""
+    t = shoelace_terms_expr(xs, ys)
+    n = F.size(xs)
+    a_signed = F.aggregate(t, F.lit(0.0), lambda acc, x: acc + x) / F.lit(2.0)
+    idx = F.sequence(F.lit(1), n)
+
+    def fold_weighted(coord: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                idx,
+                lambda i: (
+                    F.element_at(coord, i.cast("int"))
+                    + F.element_at(coord, (F.pmod(i, n) + 1).cast("int"))
+                ) * F.element_at(t, i.cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ok = F.abs(a_signed) > 1e-9
+    cx = F.when(ok, fold_weighted(xs) / (F.lit(6.0) * a_signed))
+    cy = F.when(ok, fold_weighted(ys) / (F.lit(6.0) * a_signed))
+    return cx, cy
+
+
 def edges_within_rings(
     edges: DataFrame, rings: list[np.ndarray], id_col: str = "edge_id"
 ) -> DataFrame:

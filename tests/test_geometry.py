@@ -217,3 +217,36 @@ def test_segments_within_rings_concave_and_hole(spark):
     )
     rows = {r.edge_id: r.in_extent for r in edges_within_rings(df, [u, hole]).collect()}
     assert [rows[i] for i in range(5)] == [False, True, False, True, True]
+
+
+def test_native_area_centroid_exprs(spark):
+    """polygon_area_expr / polygon_centroid_expr (pure Column folds)
+    vs the numpy shoelace kernel and known shapes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators.geometry import (
+        polygon_area_expr,
+        polygon_centroid_expr,
+    )
+    from hope_graph_builder_spark.spatial.kernels import shoelace_area
+
+    rng = np.random.RandomState(4)
+    rows = [(0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 2.0, 2.0]),   # rect 4×2
+            (1, [0.0, 3.0, 0.0], [0.0, 0.0, 3.0]),             # triangle
+            (2, [1.0, 2.0], [1.0, 2.0])]                        # degenerate
+    for k in range(3, 10):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 8))
+        r = rng.uniform(1, 9, 8)
+        rows.append((k, (10 + r * np.cos(ang)).tolist(), (10 + r * np.sin(ang)).tolist()))
+    df = spark.createDataFrame(rows, "rid long, xs array<double>, ys array<double>")
+    cx, cy = polygon_centroid_expr(F.col("xs"), F.col("ys"))
+    got = {r.rid: r for r in df.select(
+        "rid", polygon_area_expr(F.col("xs"), F.col("ys")).alias("a"),
+        cx.alias("cx"), cy.alias("cy")).collect()}
+    assert got[0].a == 8.0 and got[0].cx == 2.0 and got[0].cy == 1.0
+    assert got[1].a == 4.5 and abs(got[1].cx - 1.0) < 1e-12
+    assert got[2].a == 0.0 and got[2].cx is None
+    for rid, xs, ys in rows[3:]:
+        ring = np.column_stack([xs, ys])
+        assert abs(got[rid].a - shoelace_area(ring)) < 1e-9
