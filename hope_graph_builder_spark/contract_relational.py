@@ -430,6 +430,44 @@ def q_ring_area_centroid(spark, sf_dir):
 
 
 @register(
+    "j_interval_join",
+    """
+    WITH w AS (
+      SELECT event_id AS window_id, ts AS start_ts,
+             ts + to_seconds(CAST(1000 + event_id * 13 % 5000 AS BIGINT)) AS end_ts
+      FROM events WHERE event_id % 17 = 0
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, w.window_id, w.start_ts, w.end_ts
+    FROM p JOIN w ON w.start_ts <= p.ts AND p.ts < w.end_ts
+    """,
+)
+def q_interval_join(spark, sf_dir):
+    """Interval (range) join via 1-D binning — the temporal analogue
+    of the cell-indexed spatial join (operators/temporal.interval_join:
+    hour-bin explode + equi-join + containment refine, no
+    broadcast-nested-loop). Oracle: the plain inequality join DuckDB
+    can afford at this scale."""
+    from hope_graph_builder_spark.operators.temporal import interval_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = e.filter(F.col("event_id") % 17 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + F.make_interval(
+                secs=(F.lit(1000) + F.col("event_id") * 13 % 5000).cast("double")
+            )
+        ).alias("end_ts"),
+    )
+    p = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return interval_join(p, w).select(
+        "event_id", "user_id", "ts", "window_id", "start_ts", "end_ts"
+    )
+
+
+@register(
     "j_asof_join",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -22,6 +22,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """points × intervals with ``start ≤ ts < end`` — the temporal
+    twin of the engine's cell-indexed spatial join. A naive range
+    theta-join forces a broadcast-nested-loop; binning re-expresses it
+    as an EQUI-join Catalyst can hash/broadcast: intervals explode
+    over the hour bins they cover, points key by their bin, and the
+    pair is counted once in the canonical bin that contains the
+    point's timestamp (that bin is the point's own bin — so the
+    containment refine subsumes the dedup, no distinct needed: same
+    trick as the overlay's canonical-cell filter). Pick ``bin_seconds``
+    ≈ typical interval length so the cover stays O(1) per interval."""
+    # unix_timestamp truncates to seconds, so the end bin is covered
+    # unconditionally (a half-open interval ending mid-second still
+    # reaches into it); the containment refine discards any surplus
+    b = F.lit(int(bin_seconds))
+    p = points.withColumn("_bin", F.floor(F.unix_timestamp(F.col(ts)) / b))
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / b),
+                F.floor(F.unix_timestamp(F.col(end)) / b),
+            )
+        ),
+    )
+    return (
+        p.join(i, "_bin", "inner")
+        .filter((F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end)))
+        .drop("_bin")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

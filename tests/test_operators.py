@@ -249,3 +249,34 @@ def test_asof_join_semantics(spark):
     assert out[2].prev_event_id == 101   # latest of the two priors
     assert out[3].prev_event_id is None and out[3].prev_ts is None
     assert out[4].prev_event_id == 103   # <= includes the exact tie
+
+
+def test_interval_join_bins_and_boundaries(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators.temporal import interval_join
+
+    T = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    pts = spark.createDataFrame(
+        [(1, T("2024-01-01T10:00:00")),       # == start → in
+         (2, T("2024-01-01T12:00:00")),       # == end → OUT (half-open)
+         (3, T("2024-01-01T11:59:59.900")),   # sub-second before end → in
+         (4, T("2024-01-01T13:30:00")),       # outside
+         (5, T("2024-01-02T02:00:00"))],      # inside the long window
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(100, T("2024-01-01T10:00:00"), T("2024-01-01T12:00:00")),
+         (200, T("2024-01-01T20:00:00"), T("2024-01-02T06:00:00"))],  # spans 10 bins
+        "window_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_join(pts, iv)
+    got = sorted((r.event_id, r.window_id) for r in out.collect())
+    assert got == [(1, 100), (3, 100), (5, 200)]
+    # each pair exactly once despite the multi-bin cover
+    assert out.count() == len(got)
+    # the plan is an equi-join, not a broadcast nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
