@@ -39,3 +39,43 @@ def test_streaming_noise_exposures_match_batch(spark):
         ).count()
         > 0
     )
+
+
+def test_streaming_webtext_signals_match_batch(spark, tmp_path):
+    """The stateless webtext ingest prefix as a file stream (two page
+    files, one per trigger) == the same signals computed in batch, and
+    consistent with run_webtext_ingest's columns."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark import synth
+    from hope_graph_builder_spark.operators.extract import markup_pages
+    from hope_graph_builder_spark.pipelines.webtext import run_webtext_ingest
+    from hope_graph_builder_spark.streaming.webtext_stream import (
+        read_pages_stream,
+        streaming_webtext_signals,
+    )
+
+    pages = markup_pages(synth.pages(spark, SF_TINY))
+    src = str(tmp_path / "pages_stream")
+    # two files → two triggers
+    pages.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    pages.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        streaming_webtext_signals(read_pages_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("webtext_sig_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = spark.table("webtext_sig_test")
+    batch_out = streaming_webtext_signals(spark.read.parquet(src))
+    assert stream_out.count() == batch_out.count() == pages.count() > 0
+    assert stream_out.exceptAll(batch_out).count() == 0
+    assert batch_out.exceptAll(stream_out).count() == 0
+    # consistency with the full batch pipeline's shared columns
+    full = run_webtext_ingest(pages).select("doc_id", "lang_pred", "quality", "n_tokens")
+    j = stream_out.select("doc_id", "lang_pred", "quality", "n_tokens")
+    assert j.exceptAll(full).count() == 0
