@@ -123,3 +123,39 @@ def test_status_store_stage_metrics_accessible(spark):
     assert after["stages"] > before["stages"]
     assert after["shuffle_write_bytes"] > before["shuffle_write_bytes"]
     assert after["executor_run_ms"] >= before["executor_run_ms"]
+
+
+def test_asof_join_single_keyed_sort_no_range_join(spark):
+    """asof_join's plan: one hash exchange on the key feeding a window
+    sort — no BroadcastNestedLoopJoin / CartesianProduct anywhere (the
+    failure mode of naive range-condition as-of implementations)."""
+    from hope_graph_builder_spark.operators.temporal import asof_join
+
+    e = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    left = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    plan = _plan(asof_join(left, right, by="user_id", payload=["event_id", "ts", "value"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """The centroid-assignment shape (shared by ivf_topk and every
+    Lloyd iteration — kmeans_lloyd localCheckpoints its result, so the
+    IVF plan is the inspectable twin) must broadcast the tiny centroid
+    table; a shuffled centroid join would serialize the pass."""
+    from hope_graph_builder_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    plan = _plan(similarity.ivf_topk(emb, q, k=3, nlist=4, nprobe=2))
+    # the corpus-side assignment crossJoin runs against a BROADCAST of
+    # ≤ nlist rows — the intended bounded fan-out (it may plan as a
+    # BroadcastNestedLoopJoin over the broadcast side, which is fine);
+    # what must NEVER appear is a data×data CartesianProduct
+    assert plan.count("BroadcastExchange") >= 1
+    assert "CartesianProduct" not in plan
