@@ -468,6 +468,56 @@ def q_interval_join(spark, sf_dir):
 
 
 @register(
+    "j_interval_cover",
+    """
+    WITH w AS (
+      SELECT event_id AS window_id, ts AS start_ts,
+             ts + to_seconds(CAST(CASE WHEN event_id % 5 = 0
+                  THEN 200000 + event_id * 7 % 400000
+                  ELSE 1000 + event_id * 13 % 5000 END AS BIGINT)) AS end_ts
+      FROM events WHERE event_id % 17 = 0
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, w.window_id, w.start_ts, w.end_ts
+    FROM p JOIN w ON w.start_ts <= p.ts AND p.ts < w.end_ts
+    """,
+)
+def q_interval_cover(spark, sf_dir):
+    """Interval join under a HEAVY-TAILED interval table (every 5th
+    window is 2.3–6.9 DAYS long vs the 17–100-minute typical case —
+    56–167 hour-bins each, where the single-level explode would let
+    the tail dominate shuffle volume). The cover valve
+    (interval_join(max_cover=16)) routes each interval to the
+    coarsest-needed level of the bin hierarchy (hour → 8 h → 64 h …),
+    bounding every interval's explode at max_cover bins; levels
+    union, each interval lives in exactly one level. Oracle: the
+    plain inequality join — results must be identical to the
+    single-level and valve-free forms."""
+    from hope_graph_builder_spark.operators.temporal import interval_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = e.filter(F.col("event_id") % 17 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + F.make_interval(
+                secs=F.when(
+                    F.col("event_id") % 5 == 0,
+                    F.lit(200000) + F.col("event_id") * 7 % 400000,
+                ).otherwise(
+                    F.lit(1000) + F.col("event_id") * 13 % 5000
+                ).cast("double")
+            )
+        ).alias("end_ts"),
+    )
+    p = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return interval_join(p, w, max_cover=16).select(
+        "event_id", "user_id", "ts", "window_id", "start_ts", "end_ts"
+    )
+
+
+@register(
     "j_asof_join",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

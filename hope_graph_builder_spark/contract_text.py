@@ -746,38 +746,73 @@ def q_extract_text(spark, sf_dir):
                  / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 10.0)
         + 0.3 * least(1.0, (CASE WHEN len({{toks}}) > 0
             THEN CAST({{mark_en}} AS DOUBLE) / CAST(len({{toks}}) AS DOUBLE)
-            ELSE 0.0 END) * 8.0), 6) AS quality
+            ELSE 0.0 END) * 8.0), 6) AS quality,
+        ({{dup1}} <= CAST(0.6 AS DOUBLE)
+         AND {{dup2}} <= CAST(0.4 AS DOUBLE)
+         AND {{dup3}} <= CAST(0.3 AS DOUBLE)) AS rep_pass
       FROM documents
+    ),
+    ld AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+    tri AS (
+      SELECT doc_id, lang, unnest(
+        CASE WHEN length(s) >= 3
+             THEN list_transform(range(1, length(s) - 1), i -> substr(s, CAST(i AS INT), 3))
+             ELSE [] END) AS tri
+      FROM ld
+    ),
+    tcnt AS (SELECT lang AS plang, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+    prof AS (
+      SELECT plang, tri FROM (
+        SELECT *, row_number() OVER (PARTITION BY plang ORDER BY c DESC, tri) AS rn
+        FROM tcnt
+      ) WHERE rn <= 20
+    ),
+    hits AS (
+      SELECT t.doc_id, p.plang, count(*) AS hc
+      FROM tri t JOIN prof p USING (tri) GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, plang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hc DESC, plang) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    ),
+    base AS (
+      SELECT d.doc_id,
+             'https://example.org/' || d.lang || '/' || d.doc_id AS url,
+             coalesce(pred.plang, 'und') AS lang_pred,
+             q.quality,
+             CAST(len({{toks}}) AS BIGINT) AS n_tokens,
+             q.rep_pass,
+             coalesce(comp.component, d.doc_id) AS cluster_id
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      LEFT JOIN pred ON pred.doc_id = d.doc_id
+      LEFT JOIN comp ON comp.id = d.doc_id
     )
-    SELECT d.doc_id,
-           'https://example.org/' || d.lang || '/' || d.doc_id AS url,
-           CASE {{lang_case}} ELSE 'und' END AS lang_pred,
-           q.quality,
-           CAST(len({{toks}}) AS BIGINT) AS n_tokens,
-           coalesce(comp.component, d.doc_id) AS cluster_id,
-           (coalesce(comp.component, d.doc_id) = d.doc_id
-            AND q.quality >= CAST(0.5 AS DOUBLE)) AS keep
-    FROM documents d
-    JOIN q ON q.doc_id = d.doc_id
-    LEFT JOIN comp ON comp.id = d.doc_id
+    SELECT doc_id, url, lang_pred, quality, n_tokens, rep_pass, cluster_id,
+           (row_number() OVER (
+              PARTITION BY cluster_id
+              ORDER BY rep_pass DESC, quality DESC, doc_id) = 1
+            AND quality >= CAST(0.5 AS DOUBLE) AND rep_pass) AS keep
+    FROM base
     """.format(
         sig=_sql_minhash_sig(), bands=dedup.BANDS, toks=_SQL_TOKENS,
         occ_dot=_sql_occ("text", "."), occ_comma=_sql_occ("text", ","),
         occ_bang=_sql_occ("text", "!"),
         mark_en=_sql_marker("en"),
-        lang_case=" ".join(
-            f"WHEN ({_sql_marker(lg)}) > 0 AND ({_sql_marker(lg)}) = "
-            f"greatest({', '.join(f'({_sql_marker(l2)})' for l2 in text.LANG_MARKERS)})"
-            f" THEN '{lg}'" for lg in text.LANG_MARKERS
-        ),
+        dup1=_sql_dup_ratio(1), dup2=_sql_dup_ratio(2), dup3=_sql_dup_ratio(3),
     ),
 )
 def q_webtext_ingest(spark, sf_dir):
-    """The composed CC-style ingest (pipelines/webtext): extraction is
-    byte-identical to the ground-truth text (t_extract_text pins
-    that), so the oracle computes every signal — language, quality,
-    token count, near-dup cluster, canonical∧quality keep — directly
-    on documents.text and the whole pipeline output must value-match."""
+    """The composed CC-style ingest v2 (pipelines/webtext): extraction
+    is byte-identical to the ground-truth text (t_extract_text pins
+    that), so the oracle computes every signal — TRAINED trigram
+    language ID (profile training replayed in SQL), quality, token
+    count, Gopher repetition gates, near-dup cluster, and the
+    quality-first canonical (rep_pass ≻ quality ≻ id per cluster) —
+    directly on documents.text; the whole pipeline output must
+    value-match, keep gate included."""
     from hope_graph_builder_spark import synth
     from hope_graph_builder_spark.operators.extract import markup_pages
     from hope_graph_builder_spark.pipelines.webtext import run_webtext_ingest
@@ -798,7 +833,10 @@ def _sql_cos(a: str, b: str) -> str:
     "e_ann_ivf_topk",
     f"""
     WITH c AS (SELECT vec_id, embedding FROM embeddings),
-    cen AS (SELECT vec_id AS list_id, embedding AS cen FROM embeddings WHERE vec_id < 8),
+    cen AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, embedding AS cen
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
     assigned AS (
       SELECT cand_id, cv, list_id FROM (
         SELECT c.vec_id AS cand_id, c.embedding AS cv, cen.list_id,
@@ -854,7 +892,9 @@ def _sql_kmeans(k: int = 8, iters: int = 2, dp: int = 5, dim: int = 64) -> str:
         "c AS (SELECT vec_id AS cand_id, "
         f"list_transform(embedding, x -> round_even(CAST(x AS DOUBLE), {dp})) AS cv "
         "FROM embeddings)",
-        f"cen0 AS (SELECT cand_id AS list_id, cv AS cen FROM c WHERE cand_id < {k})",
+        "cen0 AS (SELECT row_number() OVER (ORDER BY cand_id) - 1 AS list_id,"
+        " cv AS cen FROM (SELECT * FROM c ORDER BY cand_id LIMIT"
+        f" {k}))",
     ]
     for i in range(1, iters + 1):
         prev = f"cen{i - 1}"

@@ -196,6 +196,25 @@ def ann_lsh_topk(
     )
 
 
+def _anchor_centroids(c: DataFrame, k: int) -> DataFrame:
+    """Deterministic rank-based anchors: the ``k`` smallest ids of
+    ``c`` (cand_id, cv), re-labeled list_id 0..k-1. Fails loudly when
+    the corpus has fewer than k vectors. The limit(k) result is k rows
+    — the row_number window over it is a single tiny partition, and
+    downstream every consumer broadcasts it."""
+    top = c.orderBy("cand_id").limit(k)
+    n = top.count()
+    if n < k:
+        raise ValueError(
+            f"anchor init needs k={k} vectors, corpus has only {n}"
+        )
+    w = Window.orderBy("cand_id")
+    return top.select(
+        (F.row_number().over(w) - 1).cast("long").alias("list_id"),
+        F.col("cv").alias("cen"),
+    )
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int = 8,
@@ -225,13 +244,18 @@ def kmeans_lloyd(
     cluster that loses all members drops out (documented; anchors-init
     makes this unreachable on real corpora).
 
+    Anchor init is RANK-based (the k smallest ids, re-labeled
+    0..k-1), not value-based ``id < k`` — ids may start anywhere
+    (UUID-hash ids, offset ranges); a corpus with fewer than k
+    vectors raises instead of silently training fewer clusters.
+    orderBy(id).limit(k) plans as a distributed top-k (per-partition
+    take + tiny merge), never a global sort.
+
     → (list_id, cen array<double>, size long)."""
     v = F.transform(F.col(vec_col), lambda x: F.bround(x.cast("double"), dp))
     c = corpus.select(F.col(id_col).alias("cand_id"), v.alias("cv"))
-    cen = c.filter(F.col("cand_id") < k).select(
-        F.col("cand_id").alias("list_id"), F.col("cv").alias("cen"),
-        F.lit(1).cast("long").alias("size"),
-    )
+    cen = _anchor_centroids(c, k)
+    cen = cen.withColumn("size", F.lit(1).cast("long"))
     wa = Window.partitionBy("cand_id").orderBy(F.desc("acos"), F.asc("list_id"))
     for _ in range(iters):
         assigned = (
@@ -279,8 +303,9 @@ def ivf_topk(
     ``nprobe`` closest lists, exact cosine runs only inside probed
     lists → candidate work ≈ N·nprobe/nlist per query.
 
-    Centroids are deterministic anchors (the first ``nlist`` corpus
-    vectors) instead of k-means iterations: the ROUTING/plan shape —
+    Centroids are deterministic anchors (the ``nlist`` smallest-id
+    corpus vectors, rank-labeled — id values may start anywhere)
+    instead of k-means iterations: the ROUTING/plan shape —
     broadcast centroid table, one narrow assignment pass, equi-join on
     list id, per-query top-k window — is exactly the production IVF
     shape; swapping in trained centroids changes only the tiny
@@ -291,8 +316,12 @@ def ivf_topk(
     if centroids is not None:
         cen = centroids.select("list_id", "cen")
     else:
-        cen = corpus.filter(F.col(id_col) < nlist).select(
-            F.col(id_col).alias("list_id"), _as_double(F.col(vec_col)).alias("cen")
+        cen = _anchor_centroids(
+            corpus.select(
+                F.col(id_col).alias("cand_id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            ),
+            nlist,
         )
     c = corpus.select(
         F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv")

@@ -74,7 +74,16 @@ def hot_cell_factors(
 ) -> DataFrame:
     """Profile pass: cells whose point count exceeds ``threshold`` get a
     salt factor ceil(count/threshold), capped. Tiny output → broadcast.
-    At 100 TB this profile runs on a sample; locally it's exact."""
+    At 100 TB this profile runs on a sample; locally it's exact.
+
+    ``max_factor`` must fit the 7 salt bits of the packed join key
+    (_pack_ck) — validated here so a mis-tuned valve fails loudly
+    instead of wrapping two salts onto one key."""
+    if not (1 <= max_factor <= _MAX_SALT):
+        raise ValueError(
+            f"max_factor must be in [1, {_MAX_SALT}] (salt packs into 7 bits"
+            f" of the join key), got {max_factor}"
+        )
     return (
         points_with_cell.groupBy(CELL)
         .count()
@@ -89,6 +98,7 @@ def hot_cell_factors(
 
 
 _LOW56 = (1 << 56) - 1
+_MAX_SALT = 64  # salt values 0..63 fit bits 56..62 of the packed key
 
 
 def _pack_ck(salt_col):
@@ -108,6 +118,10 @@ def _pack_ck(salt_col):
 def _apply_salt(
     points: DataFrame, polys: DataFrame, point_id: str, salt: int, hot: DataFrame | None
 ) -> tuple[DataFrame, DataFrame, list[str]]:
+    if not (1 <= salt <= _MAX_SALT):
+        raise ValueError(
+            f"salt must be in [1, {_MAX_SALT}] (7 packed key bits), got {salt}"
+        )
     if hot is not None:
         points = points.join(F.broadcast(hot), CELL, "left").withColumn(
             "_ck",

@@ -29,6 +29,9 @@ def interval_join(
     start: str = "start_ts",
     end: str = "end_ts",
     bin_seconds: int = 3600,
+    max_cover: int | None = None,
+    level_scale: int = 8,
+    max_levels: int = 6,
 ) -> DataFrame:
     """points × intervals with ``start ≤ ts < end`` — the temporal
     twin of the engine's cell-indexed spatial join. A naive range
@@ -39,11 +42,54 @@ def interval_join(
     point's timestamp (that bin is the point's own bin — so the
     containment refine subsumes the dedup, no distinct needed: same
     trick as the overlay's canonical-cell filter). Pick ``bin_seconds``
-    ≈ typical interval length so the cover stays O(1) per interval."""
+    ≈ typical interval length so the cover stays O(1) per interval.
+
+    Cover valve (``max_cover``): heavy-tailed interval tables (a few
+    month-long intervals among millions of hour-long ones) would
+    explode the long tail into thousands of bins each — the time-axis
+    twin of split_by_cover_size (operators/spatial_join.py). With
+    ``max_cover`` set, each interval is routed to the COARSEST-needed
+    level of a bin hierarchy (widths bin_seconds·level_scale^ℓ,
+    ℓ < max_levels): the lowest level where its cover ≤ max_cover.
+    Every level runs the same equi-join + containment refine against
+    points keyed at that level's width, results union — still zero
+    nested-loop joins, and per-interval explode is bounded by
+    ``max_cover`` (except at the top level, which bounds the
+    hierarchy: width · max_cover · level_scale^(max_levels-1) spans
+    ~centuries at the defaults). Each interval lives in exactly ONE
+    level, so no cross-level dedup is needed."""
+    if max_cover is None:
+        return _interval_join_level(points, intervals, ts, start, end,
+                                    int(bin_seconds))
+    s, e = F.unix_timestamp(F.col(start)), F.unix_timestamp(F.col(end))
+    out = None
+    for lvl in range(max_levels):
+        width = int(bin_seconds) * int(level_scale) ** lvl
+        cover = F.floor(e / F.lit(width)) - F.floor(s / F.lit(width)) + 1
+        sel = (cover <= max_cover) if lvl < max_levels - 1 else F.lit(True)
+        if lvl > 0:
+            prev_w = int(bin_seconds) * int(level_scale) ** (lvl - 1)
+            prev_cover = (
+                F.floor(e / F.lit(prev_w)) - F.floor(s / F.lit(prev_w)) + 1
+            )
+            sel = sel & (prev_cover > max_cover)
+        part = _interval_join_level(
+            points, intervals.filter(sel), ts, start, end, width
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _interval_join_level(
+    points: DataFrame, intervals: DataFrame, ts: str, start: str, end: str,
+    width: int,
+) -> DataFrame:
+    """One bin level: explode intervals over their ``width``-second bin
+    cover, equi-join points on their own bin, refine by containment."""
     # unix_timestamp truncates to seconds, so the end bin is covered
     # unconditionally (a half-open interval ending mid-second still
     # reaches into it); the containment refine discards any surplus
-    b = F.lit(int(bin_seconds))
+    b = F.lit(int(width))
     p = points.withColumn("_bin", F.floor(F.unix_timestamp(F.col(ts)) / b))
     i = intervals.withColumn(
         "_bin",
@@ -75,8 +121,11 @@ def asof_join(
 
     Ordering inside one timestamp: right rows sort BEFORE left rows
     (``<=`` semantics: a right row at exactly left's ts matches), and
-    equal-ts right rows break ties on the first payload column — fully
-    deterministic."""
+    equal-ts right rows break ties on the FULL payload struct
+    (field-by-field, in ``payload`` order) — a total order, so the
+    carried-forward payload is deterministic across runs even when two
+    right rows share (by, ts, payload[0]) but differ later (DuckDB's
+    native ASOF is arbitrary on such ties; ours is pinned)."""
     payload = payload or [c for c in right.columns if c != by]
     pstruct = F.struct(*[F.col(c).alias(c) for c in payload])
     r2 = right.select(
@@ -92,7 +141,7 @@ def asof_join(
         .orderBy(
             F.col("_t").asc(),
             F.col("_side").asc(),
-            F.col("_p").getField(payload[0]).asc_nulls_first(),
+            F.col("_p").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -203,12 +203,14 @@ def train_lang_profiles(docs: DataFrame, top_n: int = 20,
     )
 
 
-def lang_id_ngram(docs: DataFrame, profiles: DataFrame,
-                  text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """n-gram language ID: per document, count profile-trigram hits per
-    language, argmax with deterministic tie-break (lang asc); documents
-    with no hits → 'und'. One explode + one broadcast join + one
-    groupBy — linear at any corpus size."""
+def lang_pred_ngram(docs: DataFrame, profiles: DataFrame,
+                    text: str = "text", id_col: str = "doc_id",
+                    out: str = "predicted") -> DataFrame:
+    """The pure trigram classifier: → (id_col, ``out``) for EVERY input
+    row — per document, count profile-trigram hits per language, argmax
+    with deterministic tie-break (lang asc); documents with no hits →
+    'und'. One explode + one broadcast join + one groupBy — linear at
+    any corpus size."""
     from pyspark.sql.window import Window
 
     tri = docs.select(id_col, F.explode(char_trigrams(F.col(text))).alias("tri"))
@@ -219,10 +221,20 @@ def lang_id_ngram(docs: DataFrame, profiles: DataFrame,
     pred = (
         hits.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_col, F.col("plang").alias("predicted"))
+        .select(id_col, F.col("plang").alias("_pred"))
     )
-    return docs.select(id_col, "lang").join(pred, id_col, "left").select(
+    return docs.select(id_col).join(pred, id_col, "left").select(
+        id_col, F.coalesce("_pred", F.lit("und")).alias(out)
+    )
+
+
+def lang_id_ngram(docs: DataFrame, profiles: DataFrame,
+                  text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Evaluation wrapper over lang_pred_ngram: adds ``is_correct``
+    against the labeled ``lang`` column."""
+    pred = lang_pred_ngram(docs, profiles, text, id_col)
+    return docs.select(id_col, "lang").join(pred, id_col).select(
         id_col,
-        F.coalesce("predicted", F.lit("und")).alias("predicted"),
-        (F.coalesce("predicted", F.lit("und")) == F.col("lang")).alias("is_correct"),
+        F.col("predicted"),
+        (F.col("predicted") == F.col("lang")).alias("is_correct"),
     )

@@ -44,6 +44,23 @@ _REQUIRED_SRS = [
 ]
 
 
+def _qi(name: str) -> str:
+    """Quote an SQL identifier the standard way: double quotes, embedded
+    quotes doubled — valid for SQLite table and column names (the
+    previous repr()-based single quoting leaned on SQLite's
+    string-literal-as-identifier compatibility quirk and broke on names
+    containing an apostrophe)."""
+    return '"' + str(name).replace('"', '""') + '"'
+
+
+# A .gpkg is a single-writer SQLite file streamed through the driver —
+# correct for debug/exchange layers (the reference's use), wrong for
+# bulk output. Above this many rows the sink refuses and points at the
+# distributed parquet sink (checkpoint/manifest.py); override only for
+# a deliberate large export.
+MAX_DRIVER_ROWS = 2_000_000
+
+
 def gpkg_geometry_blob(wkb: bytes, srs_id: int,
                        bbox: tuple[float, float, float, float] | None) -> bytes:
     """OGC GeoPackage §2.1.3 BLOB: magic 'GP', version 0, flags
@@ -67,11 +84,27 @@ def write_gpkg_layer(
     srs_id: int = 0,
     geometry_type: str = "GEOMETRY",
     identifier: str | None = None,
+    max_driver_rows: int = MAX_DRIVER_ROWS,
 ) -> int:
     """Write ``df`` (attrs…, WKB ``geom_col``, optional minx/miny/
     maxx/maxy bbox columns) as one feature layer; returns the feature
     count. Creates the file with the required GPKG skeleton if absent;
-    replaces the layer if it already exists."""
+    replaces the layer if it already exists.
+
+    Scale guard: refuses DataFrames larger than ``max_driver_rows``
+    (counted up front) — SQLite is a single-writer container, so every
+    row funnels through this one process; beyond debug/exchange scale
+    the right sink is distributed parquet (checkpoint/manifest.py) or
+    per-shard .gpkg files written from a partitioned loop."""
+    n_in = df.count()
+    if n_in > max_driver_rows:
+        raise ValueError(
+            f"write_gpkg_layer: {n_in} rows exceeds max_driver_rows="
+            f"{max_driver_rows}; a GeoPackage is a single-writer sqlite"
+            " file streamed through the driver. Export via the parquet"
+            " sink (checkpoint/manifest.py) or raise max_driver_rows"
+            " for a deliberate large export."
+        )
     bbox_cols = {"minx", "miny", "maxx", "maxy"}
     fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     attr_fields = [
@@ -111,7 +144,7 @@ def write_gpkg_layer(
             "z TINYINT NOT NULL, m TINYINT NOT NULL,"
             "CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"
         )
-        con.execute(f"DROP TABLE IF EXISTS '{layer}'")
+        con.execute(f"DROP TABLE IF EXISTS {_qi(layer)}")
         con.execute("DELETE FROM gpkg_contents WHERE table_name = ?", (layer,))
         con.execute(
             "DELETE FROM gpkg_geometry_columns WHERE table_name = ?", (layer,)
@@ -122,20 +155,20 @@ def write_gpkg_layer(
         has_fid = any(n == "fid" for n, _ in attr_fields)
         attr_fields = [(n, t) for n, t in attr_fields if n != "fid"]
         attr_ddl = ", ".join(
-            f"\"{n}\" {_SQLITE_TYPES.get(t, 'TEXT')}" for n, t in attr_fields
+            f"{_qi(n)} {_SQLITE_TYPES.get(t, 'TEXT')}" for n, t in attr_fields
         )
         sep = ", " if attr_ddl else ""
         pk = ("fid INTEGER PRIMARY KEY" if has_fid
               else "fid INTEGER PRIMARY KEY AUTOINCREMENT")
         con.execute(
-            f"CREATE TABLE '{layer}' ({pk}{sep}{attr_ddl}, \"{geom_col}\" BLOB)"
+            f"CREATE TABLE {_qi(layer)} ({pk}{sep}{attr_ddl}, {_qi(geom_col)} BLOB)"
         )
 
         attr_names = (["fid"] if has_fid else []) + [n for n, _ in attr_fields]
         placeholders = ", ".join(["?"] * (len(attr_names) + 1))
         insert = (
-            f"INSERT INTO '{layer}' ({', '.join(repr(n) for n in attr_names)}"
-            f"{', ' if attr_names else ''}\"{geom_col}\") VALUES ({placeholders})"
+            f"INSERT INTO {_qi(layer)} ({', '.join(_qi(n) for n in attr_names)}"
+            f"{', ' if attr_names else ''}{_qi(geom_col)}) VALUES ({placeholders})"
         )
         n_rows = 0
         gminx = gminy = float("inf")

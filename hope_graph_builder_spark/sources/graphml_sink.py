@@ -74,6 +74,36 @@ def edge_xml_expr(source: str, target: str, attrs: dict[str, str]) -> Column:
     )
 
 
+# Above this many total rows the per-row toLocalIterator funnel is the
+# wrong tool (one process renders every row): the sink switches to the
+# distributed fragment path — executors write globally range-sorted
+# text fragments, the driver only CONCATENATES files (bounded memory,
+# streamed), never rendering rows itself.
+MAX_DRIVER_ROWS = 1_000_000
+_FRAGMENT_ROWS = 500_000  # target rows per fragment file
+
+
+def _write_fragments(lines: DataFrame, sort_cols: list[str], out_dir: str,
+                     n_rows: int) -> list[str]:
+    """Write ``lines`` (sort cols + ``x`` string) as globally ordered
+    text fragments: range-partition on the sort key, sort within each
+    partition, drop the key, write with the built-in text sink. Part
+    files come back in range order (part-00000 holds the lowest key
+    range), so concatenating them in name order reproduces the exact
+    global orderBy stream."""
+    import glob
+
+    parts = max(1, min(256, -(-n_rows // _FRAGMENT_ROWS)))
+    (
+        lines.repartitionByRange(parts, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .select("x")
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
+    return sorted(glob.glob(f"{out_dir}/part-*"))
+
+
 def write_graphml(
     nodes: DataFrame,
     edges: DataFrame,
@@ -81,24 +111,37 @@ def write_graphml(
     node_id: str = "node_id",
     source: str = "source",
     target: str = "target",
+    max_driver_rows: int = MAX_DRIVER_ROWS,
 ) -> dict[str, int]:
     """Write one GraphML document. Every non-key column becomes a
     string attribute (igraph layout: node keys ``v_<name>``, edge keys
     ``e_<name>``). Rows are emitted ordered by id for deterministic
-    output. Returns counts for the caller's lineage record."""
+    output. Returns counts for the caller's lineage record.
+
+    Scale: up to ``max_driver_rows`` total rows the driver streams rows
+    via toLocalIterator; beyond that it switches to the fragment path
+    (distributed sorted text fragments + driver file concat) — byte
+    identical output, and the driver never touches a row."""
+    import shutil
+    import tempfile
+
     n_attrs = {c: f"v_{c}" for c in nodes.columns if c != node_id}
     e_attrs = {c: f"e_{c}" for c in edges.columns if c not in (source, target)}
 
-    node_lines = (
-        nodes.orderBy(F.col(node_id))
-        .select(node_xml_expr(node_id, n_attrs).alias("x"))
+    node_lines = nodes.select(
+        F.col(node_id).alias("_k1"),
+        node_xml_expr(node_id, n_attrs).alias("x"),
     )
-    edge_lines = (
-        edges.orderBy(F.col(source), F.col(target))
-        .select(edge_xml_expr(source, target, e_attrs).alias("x"))
+    edge_lines = edges.select(
+        F.col(source).alias("_k1"),
+        F.col(target).alias("_k2"),
+        edge_xml_expr(source, target, e_attrs).alias("x"),
     )
 
-    n_nodes = n_edges = 0
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    fragmented = (n_nodes + n_edges) > max_driver_rows
+
     with open(path, "w", encoding="utf-8") as f:
         f.write(_HEADER)
         for col, kid in n_attrs.items():
@@ -106,11 +149,22 @@ def write_graphml(
         for col, kid in e_attrs.items():
             f.write(f'  <key id="{kid}" for="edge" attr.name="{col}" attr.type="string"/>\n')
         f.write('  <graph id="G" edgedefault="directed">\n')
-        for row in node_lines.toLocalIterator():
-            f.write(row["x"] + "\n")
-            n_nodes += 1
-        for row in edge_lines.toLocalIterator():
-            f.write(row["x"] + "\n")
-            n_edges += 1
+        if fragmented:
+            tmp = tempfile.mkdtemp(prefix="graphml_frag_")
+            try:
+                for part in _write_fragments(
+                    node_lines, ["_k1"], f"{tmp}/nodes", n_nodes
+                ) + _write_fragments(
+                    edge_lines, ["_k1", "_k2"], f"{tmp}/edges", n_edges
+                ):
+                    with open(part, "r", encoding="utf-8") as src:
+                        shutil.copyfileobj(src, f)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            for row in node_lines.orderBy("_k1").select("x").toLocalIterator():
+                f.write(row["x"] + "\n")
+            for row in edge_lines.orderBy("_k1", "_k2").select("x").toLocalIterator():
+                f.write(row["x"] + "\n")
         f.write("  </graph>\n</graphml>\n")
-    return {"nodes": n_nodes, "edges": n_edges}
+    return {"nodes": n_nodes, "edges": n_edges, "fragmented": int(fragmented)}

@@ -17,6 +17,17 @@ Parsing is from the public ISO 28500 spec: records are
 ``WARC/1.x CRLF headers CRLF CRLF block CRLF CRLF``; Content-Length
 counts block bytes; response records carry an HTTP message whose body
 is the page payload.
+
+Robustness (real crawls are hostile): parsing is INCREMENTAL — gzip
+members decompress through a bounded buffer and records are emitted
+as soon as they complete, so peak memory is one record (+ the gzip
+window), never the whole ~1 GB decompressed file. Malformed records
+(non-WARC bytes at a record boundary, missing/garbage Content-Length,
+truncated blocks) are skipped-and-counted by default (``strict=False``,
+the CC-production behavior): the parser resyncs on the next
+``\\r\\nWARC/`` magic and every emitted row carries the file's final
+``n_skipped`` so lineage shows exactly how lossy each input was.
+``strict=True`` raises on the first malformation instead.
 """
 
 from __future__ import annotations
@@ -31,41 +42,148 @@ from pyspark.sql import functions as F
 
 PAGES_SCHEMA = (
     "url string, warc_ts string, html binary, "
-    "warc_record_id string, content_type string, source_file string"
+    "warc_record_id string, content_type string, source_file string, "
+    "n_skipped long"
 )
 
+# binaryFile materializes one file's bytes per row; beyond this the
+# file can't round-trip through Arrow (and a single task would own a
+# multi-GB buffer). CC shards are ~1 GB by construction — a larger
+# input is a mis-packed shard, not a bigger corpus.
+MAX_COMPRESSED_BYTES = 2 * 1024**3 - 1
 
-def parse_warc_records(raw: bytes) -> list[dict]:
-    """All WARC records of one (decompressed) WARC byte stream.
-    Returns dicts with lowercase WARC header keys plus ``block``."""
-    out = []
-    pos = 0
-    n = len(raw)
-    while pos < n:
+_MAGIC = b"WARC/"
+_READ_CHUNK = 1 << 20
+
+
+class WarcSyntaxError(ValueError):
+    pass
+
+
+def _iter_chunks(content: bytes) -> Iterator[bytes]:
+    """Yield decompressed chunks incrementally. Gzip multistream (the
+    CC layout: one member per record) decompresses member-by-member
+    through GzipFile — bounded memory regardless of file size."""
+    if content[:2] == b"\x1f\x8b":
+        with gzip.GzipFile(fileobj=io.BytesIO(content)) as g:
+            while True:
+                chunk = g.read(_READ_CHUNK)
+                if not chunk:
+                    return
+                yield chunk
+    else:
+        for pos in range(0, len(content), _READ_CHUNK):
+            yield content[pos:pos + _READ_CHUNK]
+
+
+def iter_warc_records(
+    chunks: Iterator[bytes], strict: bool = False
+) -> Iterator[dict]:
+    """Incremental WARC record parser over a chunk stream. Yields one
+    dict per well-formed record (lowercase WARC header keys + ``block``)
+    and finally a ``{"__n_skipped__": n}`` sentinel.
+
+    Tolerant mode (default): a malformed record boundary (no WARC/
+    magic, bad/missing Content-Length) or a truncated final block is
+    counted and the parser RESYNCS at the next ``\\r\\nWARC/``
+    occurrence; well-formed records before and after land
+    byte-identical. Peak memory is one record's bytes."""
+    buf = bytearray()
+    eof = False
+    n_skipped = 0
+    it = iter(chunks)
+
+    def fill(need: int) -> bool:
+        """Grow buf to ≥ need bytes; False if the stream ends first."""
+        nonlocal eof
+        while len(buf) < need and not eof:
+            try:
+                buf.extend(next(it))
+            except StopIteration:
+                eof = True
+        return len(buf) >= need
+
+    def find_with_fill(needle: bytes, start: int = 0) -> int:
+        nonlocal eof
+        while True:
+            i = buf.find(needle, start)
+            if i >= 0:
+                return i
+            if eof:
+                return -1
+            start = max(0, len(buf) - len(needle) + 1)
+            try:
+                buf.extend(next(it))
+            except StopIteration:
+                eof = True
+
+    def resync(frm: int) -> None:
+        """Drop bytes up to the next record magic after ``frm``."""
+        nonlocal n_skipped
+        n_skipped += 1
+        i = find_with_fill(b"\r\n" + _MAGIC, frm)
+        if i < 0:
+            buf.clear()
+        else:
+            del buf[: i + 2]
+
+    while True:
         # skip inter-record CRLFs
-        while pos < n and raw[pos:pos + 2] in (b"\r\n",):
-            pos += 2
-        if pos >= n:
+        while fill(2) and buf[:2] == b"\r\n":
+            del buf[:2]
+        if not fill(1):
             break
-        head_end = raw.find(b"\r\n\r\n", pos)
+        if not fill(len(_MAGIC)) or bytes(buf[: len(_MAGIC)]) != _MAGIC:
+            if strict:
+                raise WarcSyntaxError(
+                    f"not a WARC record boundary: {bytes(buf[:40])!r}"
+                )
+            resync(0)
+            continue
+        head_end = find_with_fill(b"\r\n\r\n")
         if head_end < 0:
+            if strict:
+                raise WarcSyntaxError("unterminated WARC header")
+            n_skipped += 1
             break
-        head = raw[pos:head_end].decode("utf-8", errors="replace")
-        lines = head.split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            raise ValueError(f"not a WARC record at offset {pos}: {lines[0][:40]!r}")
-        hdrs: dict[str, str] = {}
-        for line in lines[1:]:
+        head = buf[:head_end].decode("utf-8", errors="replace")
+        hdrs: dict = {}
+        for line in head.split("\r\n")[1:]:
             if ":" in line:
                 k, v = line.split(":", 1)
                 hdrs[k.strip().lower()] = v.strip()
-        length = int(hdrs["content-length"])
+        try:
+            length = int(hdrs["content-length"])
+            if length < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            if strict:
+                raise WarcSyntaxError(
+                    f"bad Content-Length in record at {head.splitlines()[0]!r}"
+                )
+            resync(head_end)
+            continue
         block_start = head_end + 4
-        block = raw[block_start:block_start + length]
-        hdrs["block"] = block
-        out.append(hdrs)
-        pos = block_start + length
-    return out
+        if not fill(block_start + length):
+            # truncated final block
+            if strict:
+                raise WarcSyntaxError(
+                    f"truncated block: need {length} bytes, stream ended"
+                )
+            n_skipped += 1
+            break
+        hdrs["block"] = bytes(buf[block_start: block_start + length])
+        del buf[: block_start + length]
+        yield hdrs
+    yield {"__n_skipped__": n_skipped}
+
+
+def parse_warc_records(raw: bytes, strict: bool = True) -> list[dict]:
+    """All WARC records of one (decompressed) WARC byte stream —
+    the eager wrapper over iter_warc_records (strict by default: the
+    historical behavior of this helper, used by spec-vector tests)."""
+    out = [r for r in iter_warc_records(iter([raw]), strict=strict)]
+    return [r for r in out if "__n_skipped__" not in r]
 
 
 def http_payload(block: bytes) -> tuple[bytes, str]:
@@ -81,38 +199,39 @@ def http_payload(block: bytes) -> tuple[bytes, str]:
     return block[sep + 4:], ctype
 
 
-def _decompress(content: bytes) -> bytes:
-    if content[:2] == b"\x1f\x8b":
-        # gzip MULTISTREAM (one member per record, the CC layout):
-        # decompress every member, not just the first
-        out = io.BytesIO()
-        with gzip.GzipFile(fileobj=io.BytesIO(content)) as g:
-            while True:
-                chunk = g.read(1 << 20)
-                if not chunk:
-                    break
-                out.write(chunk)
-        return out.getvalue()
-    return content
-
-
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_pages(
+    spark: SparkSession, path: str, strict: bool = False
+) -> DataFrame:
     """→ one row per WARC *response* record:
     (url, warc_ts, html binary, warc_record_id, content_type,
-    source_file). ``path`` may be a glob over many .warc / .warc.gz
-    files — one input task per file (the CC-scale unit of work)."""
+    source_file, n_skipped). ``path`` may be a glob over many .warc /
+    .warc.gz files — one input task per file (the CC-scale unit of
+    work). ``n_skipped`` is the file-level count of malformed records
+    the tolerant parser dropped (0 everywhere in strict mode, which
+    instead raises on the first malformation)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                raw = _decompress(bytes(content))
-                for rec in parse_warc_records(raw):
+                content = bytes(content)
+                if len(content) > MAX_COMPRESSED_BYTES:
+                    raise ValueError(
+                        f"{fpath}: {len(content)} bytes exceeds the "
+                        f"{MAX_COMPRESSED_BYTES}-byte single-file limit; "
+                        "split the shard (CC ships ~1 GB files) — "
+                        "binaryFile cannot round-trip larger payloads"
+                    )
+                recs, n_skipped = [], 0
+                for rec in iter_warc_records(_iter_chunks(content), strict):
+                    if "__n_skipped__" in rec:
+                        n_skipped = rec["__n_skipped__"]
+                        continue
                     if rec.get("warc-type") != "response":
                         continue
                     body, ctype = http_payload(rec["block"])
-                    rows.append((
+                    recs.append((
                         rec.get("warc-target-uri", ""),
                         rec.get("warc-date", ""),
                         body,
@@ -120,10 +239,11 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                         ctype,
                         fpath,
                     ))
+                rows.extend(r + (n_skipped,) for r in recs)
             yield pd.DataFrame(
                 rows,
                 columns=["url", "warc_ts", "html", "warc_record_id",
-                         "content_type", "source_file"],
+                         "content_type", "source_file", "n_skipped"],
             )
 
     return files.mapInPandas(op, schema=PAGES_SCHEMA)

@@ -108,3 +108,21 @@ def test_rewrite_reference_fixture_roundtrip(spark, tmp_path):
         b = back.select(F.md5("geom").alias("h")).orderBy("h").collect()
         assert a == b
     assert sorted(list_layers(out)) == sorted(list_layers(REF_GPKG))
+
+
+def test_gpkg_sink_scale_guard_trips(spark, tmp_path):
+    """write_gpkg_layer refuses DataFrames beyond max_driver_rows: a
+    GeoPackage is a single-writer sqlite funnel, so the guard routes
+    bulk exports to the distributed parquet sink instead of silently
+    streaming millions of rows through one process."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from hope_graph_builder_spark.sources.gpkg_sink import write_gpkg_layer
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"),
+        F.encode(F.lit("\x01\x01\x00\x00\x00"), "UTF-8").alias("geom"),
+    )
+    with _pytest.raises(ValueError, match="max_driver_rows"):
+        write_gpkg_layer(df, str(tmp_path / "g.gpkg"), "layer", max_driver_rows=5)

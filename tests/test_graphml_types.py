@@ -161,3 +161,34 @@ def test_graphml_sink_escaping_and_nulls(spark, tmp_path):
     e2 = read_graphml_edges(spark, out)
     assert {tuple(r) for r in n2.collect()} == {tuple(r) for r in nodes.collect()}
     assert {tuple(r) for r in e2.collect()} == {tuple(r) for r in edges.collect()}
+
+
+def test_graphml_sink_fragment_path_byte_identical(spark, tmp_path):
+    """Scale guard: with max_driver_rows=0 the sink switches to the
+    distributed fragment path (range-sorted text fragments + driver
+    file concat). Output must be BYTE-identical to the driver-funnel
+    path — same global order, same escaping — and round-trip through
+    the S6 scan."""
+    import os
+
+    from hope_graph_builder_spark.sources.graphml import (
+        read_graphml_edges,
+        read_graphml_nodes,
+    )
+    from hope_graph_builder_spark.sources.graphml_sink import write_graphml
+
+    src = "/root/reference/src/test/data/test_graph.graphml"
+    if not os.path.isfile(src):
+        pytest.skip("reference fixture not present")
+    nodes = read_graphml_nodes(spark, src)
+    edges = read_graphml_edges(spark, src)
+    a = str(tmp_path / "driver.graphml")
+    b = str(tmp_path / "frag.graphml")
+    ca = write_graphml(nodes, edges, a)
+    cb = write_graphml(nodes, edges, b, max_driver_rows=0)
+    assert ca["fragmented"] == 0 and cb["fragmented"] == 1
+    assert cb["nodes"] == nodes.count() and cb["edges"] == edges.count()
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
+    n2 = read_graphml_nodes(spark, b)
+    assert n2.count() == nodes.count()

@@ -280,3 +280,112 @@ def test_interval_join_bins_and_boundaries(spark):
     # the plan is an equi-join, not a broadcast nested loop
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_cover_valve(spark):
+    """Heavy-tailed intervals route to coarser bin levels (the
+    time-axis split_by_cover_size): results identical to the
+    valve-free join, the plan stays equi-join (no BNLJ/Cartesian),
+    every interval's explode at its routed level is ≤ max_cover, and
+    each interval lives in exactly one level (no duplicate pairs)."""
+    from datetime import datetime, timedelta
+
+    from hope_graph_builder_spark.operators.temporal import interval_join
+
+    base = datetime.fromisoformat("2024-01-01T00:00:00")
+    # 40 short (≤ 2 h) windows + 6 long tails (3 d .. 40 d)
+    iv_rows, pt_rows = [], []
+    for i in range(40):
+        s = base + timedelta(hours=3 * i, minutes=7)
+        iv_rows.append((i, s, s + timedelta(minutes=30 + i)))
+        pt_rows.append((1000 + i, s + timedelta(minutes=10)))
+    for j, days in enumerate([3, 5, 8, 13, 21, 40]):
+        s = base + timedelta(hours=11 * j)
+        iv_rows.append((100 + j, s, s + timedelta(days=days)))
+        pt_rows.append((2000 + j, s + timedelta(days=days // 2)))
+    pts = spark.createDataFrame(pt_rows, "event_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        iv_rows, "window_id long, start_ts timestamp, end_ts timestamp"
+    )
+    MAXC = 4
+    valved = interval_join(pts, iv, max_cover=MAXC, level_scale=8)
+    plain = interval_join(pts, iv)  # single-level reference
+    got = sorted((r.event_id, r.window_id) for r in valved.collect())
+    want = sorted((r.event_id, r.window_id) for r in plain.collect())
+    assert got == want and len(got) == len(set(got))  # equal, no dups
+    plan = valved._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # explode bound: at its routed level every interval covers ≤ MAXC
+    # bins (levels 3600·8^ℓ; an interval routes to the first level
+    # where its cover fits)
+    import math
+
+    for _, s, e in iv_rows:
+        su, eu = int(s.timestamp()), int(e.timestamp())
+        for lvl in range(6):
+            w = 3600 * 8 ** lvl
+            cover = eu // w - su // w + 1
+            if cover <= MAXC or lvl == 5:
+                assert cover <= MAXC, f"interval cover {cover} > {MAXC} at final level"
+                break
+
+
+def test_kmeans_anchor_init_offset_ids(spark):
+    """Rank-based anchor init: ids starting at 10^6 still yield k
+    clusters (the value-based `id < k` init silently produced ZERO
+    anchors here); a corpus smaller than k raises instead of training
+    short."""
+    import pytest as _pytest
+
+    from hope_graph_builder_spark.operators import similarity
+
+    emb = (
+        spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    cen = similarity.kmeans_lloyd(emb, k=4, iters=1)
+    rows = cen.collect()
+    assert sorted(r.list_id for r in rows) == [0, 1, 2, 3]
+    assert all(len(r.cen) == 64 and r.size > 0 for r in rows)
+    with _pytest.raises(ValueError, match="anchor init"):
+        similarity.kmeans_lloyd(emb.limit(3), k=4, iters=1)
+    # ivf_topk shares the anchor path: offset ids still route
+    out = similarity.ivf_topk(emb, emb.limit(4), k=3, nlist=4, nprobe=2)
+    assert out.count() > 0
+
+
+def test_webtext_trigram_vs_marker_disagreement(spark):
+    """A doc whose marker-word score says 'de' (it contains ' der und
+    die ' once, no en marker words) but whose trigram profile hits say
+    'en' (the body is English): the v2 pipeline must follow the
+    TRAINED trigram classifier, not the marker heuristic."""
+    from pyspark.sql import Row
+
+    from hope_graph_builder_spark.operators import text as textops
+    from hope_graph_builder_spark.operators.extract import markup_pages
+    from hope_graph_builder_spark.pipelines.webtext import run_webtext_ingest
+
+    train = spark.createDataFrame([
+        Row(doc_id=1, text="quick brown fox jumps over lazy dog rain falls "
+                           "green field wind north quick brown fox jumps lazy dog",
+            lang="en"),
+        Row(doc_id=2, text="der hund und die katze der wald und die sonne "
+                           "der regen und die wiese", lang="de"),
+    ])
+    profiles = textops.train_lang_profiles(train, top_n=64)
+
+    body = "quick brown fox jumps over lazy dog der und die " + " ".join(
+        f"field{i} green{i} rain{i} wind{i}" for i in range(30)
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://x.example/1", body, None)],
+        "doc_id long, url string, text string, lang string",
+    )
+    pages = markup_pages(pages)
+    # marker heuristic: de markers (der/und/die) = 3 > en markers = 0
+    marker = pages.select(textops.lang_id(F.col("text")).alias("m")).first().m
+    assert marker == "de"
+    out = run_webtext_ingest(pages, profiles=profiles).first()
+    assert out.lang_pred == "en"  # trigram hits overwhelm the markers
+    assert out.keep  # rich varied text passes both gates

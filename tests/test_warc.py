@@ -111,19 +111,29 @@ def test_warc_feeds_pages_schema_and_extractor(spark, tmp_path):
     assert ts["https://a.example/x"].isoformat().startswith("2024-03-01T10:00:00")
 
 
+RICH = " ".join(
+    f"item{i} value{i * 7 % 97} the record of {i}" for i in range(30)
+)  # long, varied, stopword-rich — passes quality AND repetition gates
+LOOPED = "the spam boilerplate line of junk " * 30  # looped → rep gate fails
+
+
 def test_warc_through_webtext_ingest(spark, tmp_path):
     """The full CC chain in one go: WARC file → pages → extraction →
-    signals → near-dup clusters → keep flags."""
+    trigram lang-ID → signals (incl. Gopher repetition gates) →
+    near-dup clusters → quality-first keep flags. The looped
+    boilerplate page passes the v1 quality gate but FLIPS keep under
+    the v2 repetition gate."""
     from hope_graph_builder_spark.pipelines.webtext import run_webtext_ingest
 
-    body = ("<html><head><title>x</title></head><body><p>"
-            + "the quick brown fox jumps over the lazy dog and the cat " * 8
-            + "</p></body></html>").encode()
+    def html(t):
+        return f"<html><head><title>x</title></head><body><p>{t}</p></body></html>".encode()
+
     recs = []
     for i, (url, payload) in enumerate([
-        ("https://a.example/1", body),
-        ("https://a.example/2", body),            # exact dup of 1
-        ("https://b.example/3", "<html><body><p>xs</p></body></html>".encode()),
+        ("https://a.example/1", html(RICH)),
+        ("https://a.example/2", html(RICH)),     # exact dup of 1
+        ("https://b.example/3", html("xs")),     # 1 word → quality fail
+        ("https://c.example/4", html(LOOPED)),   # long but looped → rep fail
     ]):
         recs.append(_record(
             "response",
@@ -134,24 +144,98 @@ def test_warc_through_webtext_ingest(spark, tmp_path):
     p = tmp_path / "c.warc"
     p.write_bytes(b"".join(recs))
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from hope_graph_builder_spark.sources.warc import read_warc_pages, warc_to_pages
 
-    pages = warc_to_pages(read_warc_pages(spark, str(p))).withColumn(
-        "doc_id", F.monotonically_increasing_id()
-    )
-    # stable small ids for cluster-canonical assertions
-    pages = pages.orderBy("url").withColumn(
-        "doc_id", F.row_number().over(__import__("pyspark").sql.window.Window.orderBy("url")).cast("long")
+    # a real ingest trains profiles on a labeled sample; here every page
+    # is labeled 'en' (lang rides the pages schema)
+    pages = (
+        warc_to_pages(read_warc_pages(spark, str(p)))
+        .withColumn("lang", F.lit("en"))
+        .withColumn("doc_id", F.row_number().over(Window.orderBy("url")).cast("long"))
     )
     out = {r.url: r for r in run_webtext_ingest(pages).collect()}
     assert out["https://a.example/1"].cluster_id == out["https://a.example/2"].cluster_id
-    assert out["https://a.example/1"].keep != out["https://a.example/2"].keep or (
-        not out["https://a.example/1"].keep and not out["https://a.example/2"].keep
-    )
-    kept = [u for u, r in out.items() if r.keep]
-    # the rich duplicated page survives once; the 2-word page fails the
-    # quality gate
+    kept = sorted(u for u, r in out.items() if r.keep)
+    # the rich duplicated page survives exactly once
     assert kept == ["https://a.example/1"]
     assert out["https://b.example/3"].quality < 0.5
+    # the looped page clears quality but fails the repetition gate —
+    # the v2 keep flip
+    assert out["https://c.example/4"].quality >= 0.5
+    assert not out["https://c.example/4"].rep_pass
+    assert not out["https://c.example/4"].keep
+    assert out["https://a.example/1"].rep_pass
     assert out["https://a.example/1"].lang_pred == "en"
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_tolerant_parsing_skips_and_counts(spark, tmp_path, gz):
+    """Hostile crawl input: garbage at a record boundary, a record
+    with an unparseable Content-Length, and a TRUNCATED final record.
+    Tolerant mode (the default) must (a) land every well-formed
+    record byte-identical, (b) resync after each malformation, and
+    (c) report the exact per-file skip count. strict=True raises."""
+    import gzip as _gzip
+
+    from hope_graph_builder_spark.sources.warc import (
+        WarcSyntaxError,
+        iter_warc_records,
+        read_warc_pages,
+    )
+
+    def resp(i, body):
+        return _record(
+            "response",
+            {"WARC-Record-ID": f"<urn:uuid:{i}>",
+             "WARC-Target-URI": f"https://ok.example/{i}",
+             "WARC-Date": "2024-03-01T10:00:00Z"},
+            _http(body),
+        )
+
+    garbage = b"this is not a warc record at all\r\n"
+    bad_cl = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+              b"WARC-Target-URI: https://bad.example/cl\r\n"
+              b"Content-Length: NaN\r\n\r\n"
+              b"HTTP/1.1 200 OK\r\n\r\njunkbody\r\n\r\n")
+    truncated = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                 b"WARC-Target-URI: https://bad.example/trunc\r\n"
+                 b"Content-Length: 999999\r\n\r\nonly a few bytes")
+    chunks = [
+        resp(1, b"<html><body><p>one</p></body></html>"),
+        garbage,
+        resp(2, b"<html><body><p>two</p></body></html>"),
+        bad_cl,
+        resp(3, b"<html><body><p>three</p></body></html>"),
+        truncated,
+    ]
+    if gz:
+        data = b"".join(_gzip.compress(c) for c in chunks)
+        p = tmp_path / "bad.warc.gz"
+    else:
+        data = b"".join(chunks)
+        p = tmp_path / "bad.warc"
+    p.write_bytes(data)
+
+    df = read_warc_pages(spark, str(p))
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {f"https://ok.example/{i}" for i in (1, 2, 3)}
+    assert bytes(rows["https://ok.example/1"]["html"]) == b"<html><body><p>one</p></body></html>"
+    assert bytes(rows["https://ok.example/3"]["html"]) == b"<html><body><p>three</p></body></html>"
+    assert all(r["n_skipped"] == 3 for r in rows.values())  # exact count
+
+    with pytest.raises(WarcSyntaxError):
+        list(iter_warc_records(iter([b"".join(chunks)]), strict=True))
+
+
+def test_warc_single_file_size_guard(spark, tmp_path, monkeypatch):
+    """Files beyond the single-file cap fail with a clear message
+    instead of an opaque Arrow/memory error mid-task."""
+    from hope_graph_builder_spark.sources import warc as warcmod
+
+    p = tmp_path / "big.warc"
+    p.write_bytes(b"".join(_warc_bytes()))
+    monkeypatch.setattr(warcmod, "MAX_COMPRESSED_BYTES", 10)
+    with pytest.raises(Exception, match="single-file limit"):
+        warcmod.read_warc_pages(spark, str(p)).collect()
