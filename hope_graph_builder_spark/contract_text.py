@@ -589,6 +589,54 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+@register(
+    "m_bmp_features",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
+      FROM documents
+    ),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+    v AS (
+      SELECT doc_id, w, h, i,
+             (doc_id * 31 + (i // w) * 17 + (i % w) * 7) % 256 AS r,
+             (doc_id * 31 + (i // w) * 17 + (i % w) * 7 + 11) % 256 AS g,
+             (doc_id * 31 + (i // w) * 17 + (i % w) * 7 + 22) % 256 AS b
+      FROM px
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(r) AS DOUBLE) / (min(w) * min(h)) AS mean_r,
+             CAST(sum(g) AS DOUBLE) / (min(w) * min(h)) AS mean_g,
+             CAST(sum(b) AS DOUBLE) / (min(w) * min(h)) AS mean_b,
+             CAST(sum(i * (r + 2 * g + 3 * b)) AS BIGINT) AS wsum
+      FROM v GROUP BY doc_id
+    )
+    SELECT 'https://example.org/' || d.lang || '/' || d.doc_id AS url,
+           CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           a.mean_r, a.mean_g, a.mean_b, a.wsum
+    FROM d JOIN agg a USING (doc_id)
+    """,
+)
+def q_bmp_features(spark, sf_dir):
+    """REAL multimodal decode (v2 of the stubbed plumbing): each
+    document becomes an actual 24-bpp BMP (padded rows, mixed
+    bottom-up/top-down orientations — synth.bmp_pages), decoded by the
+    from-scratch numpy reader (multimodal.decode_bmp) inside an
+    Arrow-batched map stage. The oracle NEVER touches the bytes: it
+    recomputes width/height/channel means and the order-sensitive
+    pixel-weighted sum from the closed-form pixel function, so any
+    decode defect — padding eaten, rows unflipped, BGR order kept —
+    value-mismatches (means are integer-sum/count divisions: exact in
+    both engines)."""
+    feats = multimodal.image_features(
+        synth.bmp_pages(spark, sf_dir), binary_col="img"
+    )
+    return feats.select(
+        "url", "width", "height", "mean_r", "mean_g", "mean_b", "wsum"
+    )
+
+
 # ------------------------------------------------------------------ graph --
 
 N_GRAPH_NODES = 2000
@@ -1038,3 +1086,52 @@ def q_lang_id_ngram(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     profiles = text.train_lang_profiles(docs, top_n=20)
     return text.lang_id_ngram(docs, profiles)
+
+
+@register(
+    "t_lang_ngram_expr",
+    """
+    WITH d AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+    tri AS (
+      SELECT doc_id, lang, unnest(
+        CASE WHEN length(s) >= 3
+             THEN list_transform(range(1, length(s) - 1), i -> substr(s, CAST(i AS INT), 3))
+             ELSE [] END) AS tri
+      FROM d
+    ),
+    cnt AS (SELECT lang AS plang, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+    prof AS (
+      SELECT plang, tri FROM (
+        SELECT *, row_number() OVER (PARTITION BY plang ORDER BY c DESC, tri) AS rn
+        FROM cnt
+      ) WHERE rn <= 20
+    ),
+    hits AS (
+      SELECT t.doc_id, p.plang, count(*) AS hc
+      FROM tri t JOIN prof p USING (tri) GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, plang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hc DESC, plang) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, coalesce(pred.plang, 'und') AS predicted
+    FROM d LEFT JOIN pred USING (doc_id)
+    """,
+)
+def q_lang_ngram_expr(spark, sf_dir):
+    """The STATELESS serving form of the trigram classifier
+    (text.lang_pred_ngram_expr): the trained profiles are carried as
+    literal arrays and hit counting is a per-row native array fold —
+    zero shuffles, which is what lets the streaming webtext ingest
+    classify in-stream (train-batch/serve-stream). Must value-match
+    the distributed explode+broadcast-join classifier's oracle
+    exactly: same training, same per-occurrence counts, same argmax
+    tie-breaks, same 'und' fallback."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    profiles = text.collect_profiles(text.train_lang_profiles(docs, top_n=20))
+    return docs.select(
+        "doc_id",
+        text.lang_pred_ngram_expr(F.col("text"), profiles).alias("predicted"),
+    )

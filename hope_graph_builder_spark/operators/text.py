@@ -228,6 +228,37 @@ def lang_pred_ngram(docs: DataFrame, profiles: DataFrame,
     )
 
 
+def collect_profiles(profiles: DataFrame) -> dict[str, list[str]]:
+    """(plang, tri) profile table → {lang: [trigrams]} — the tiny
+    literal form the streaming classifier embeds in its plan (langs×N
+    rows; the batch classifier broadcasts the DataFrame instead)."""
+    out: dict[str, list[str]] = {}
+    for r in profiles.collect():
+        out.setdefault(r["plang"], []).append(r["tri"])
+    return out
+
+
+def lang_pred_ngram_expr(text: Column, profiles: dict[str, list[str]]) -> Column:
+    """STATELESS Column form of the trigram classifier — identical
+    semantics to lang_pred_ngram (per-occurrence profile-hit counts,
+    argmax, ties to the lexicographically first language, no hits →
+    'und') but zero shuffles: hit counts are native array folds over
+    the literal profile trigram lists, so it runs per-row inside a
+    Structured Streaming map stage (the profiles are trained in batch
+    and carried in as literals — the standard train-batch/serve-stream
+    split)."""
+    tris = char_trigrams(text)
+    scores = {
+        lg: F.size(F.filter(tris, lambda x: x.isin(*profiles[lg])))
+        for lg in sorted(profiles)
+    }
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    expr = F.lit("und")
+    for lg in reversed(sorted(profiles)):
+        expr = F.when((scores[lg] > 0) & (scores[lg] == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
 def lang_id_ngram(docs: DataFrame, profiles: DataFrame,
                   text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Evaluation wrapper over lang_pred_ngram: adds ``is_correct``

@@ -36,16 +36,32 @@ def read_pages_stream(
     )
 
 
-def streaming_webtext_signals(pages: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def streaming_webtext_signals(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
     """The stateless ingest prefix over a (batch OR streaming) pages
     DataFrame: extraction + every per-document signal. No aggregation,
-    no state — appends forever at any rate."""
+    no state — appends forever at any rate.
+
+    ``profiles``: trained trigram profiles as {lang: [trigrams]}
+    (textops.collect_profiles over a batch train_lang_profiles run) —
+    the train-batch/serve-stream split: classification becomes a
+    per-row Column fold over the literal profile lists, value-equal to
+    the batch pipeline's broadcast-join classifier (pytest-pinned).
+    Without profiles, the marker-word heuristic is used."""
     ex = extract_text(pages)
     t = F.col("extracted_text")
+    lang = (
+        textops.lang_pred_ngram_expr(t, profiles)
+        if profiles
+        else textops.lang_id(t)
+    )
     return ex.select(
         id_col,
         "url",
-        textops.lang_id(t).alias("lang_pred"),
+        lang.alias("lang_pred"),
         F.bround(textops.quality_score(t), 6).alias("quality"),
         textops.token_count(t).cast("long").alias("n_tokens"),
         textops.dup_ngram_ratio(t, 2).alias("dup_bi"),

@@ -782,3 +782,39 @@ def sql_layers_duckdb() -> str:
     SELECT layer, poly_id + 2000000 AS poly_id, {NODATA_X1} AS minx, miny, maxx, maxy, db
     FROM allr WHERE minx < {NODATA_X1} AND maxx > {NODATA_X1}
     """
+
+
+# BMP fixture parameters (m_bmp_features): per-document image size and
+# the closed-form pixel function, in IMAGE (top-down) coordinates —
+# shared verbatim by the Spark-side encoder and the DuckDB oracle.
+def bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 2 + doc_id % 6, 2 + doc_id % 4  # (w, h)
+
+
+def bmp_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, url, img): a real 24-bpp BI_RGB BMP per
+    document, pixel channel c at image coords (x, y) =
+    (doc_id·31 + y·17 + x·7 + c·11) mod 256; every doc_id ≡ 1 (mod 4)
+    is written TOP-DOWN (negative height) so both row orders are
+    exercised. Built in an Arrow-batched map stage (binary payloads
+    can't be Column-folded); deterministic, no files."""
+    from hope_graph_builder_spark.operators.multimodal import encode_bmp
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+
+    def op(batches):
+        for pdf in batches:
+            ids, urls, imgs = [], [], []
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                doc_id = int(doc_id)
+                w, h = bmp_dims(doc_id)
+                yy = np.arange(h)[:, None, None]
+                xx = np.arange(w)[None, :, None]
+                cc = np.arange(3)[None, None, :]
+                px = ((doc_id * 31 + yy * 17 + xx * 7 + cc * 11) % 256).astype(np.uint8)
+                ids.append(doc_id)
+                urls.append(f"https://example.org/{lang}/{doc_id}")
+                imgs.append(encode_bmp(px, topdown=(doc_id % 4 == 1)))
+            yield pd.DataFrame({"doc_id": ids, "url": urls, "img": imgs})
+
+    return d.mapInPandas(op, "doc_id long, url string, img binary")

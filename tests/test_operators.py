@@ -389,3 +389,33 @@ def test_webtext_trigram_vs_marker_disagreement(spark):
     out = run_webtext_ingest(pages, profiles=profiles).first()
     assert out.lang_pred == "en"  # trigram hits overwhelm the markers
     assert out.keep  # rich varied text passes both gates
+
+
+def test_asof_join_total_tiebreak_deterministic(spark):
+    """Two right rows sharing (key, ts, payload[0]) but differing in a
+    later payload field: the carried payload must be the struct-order
+    minimum... maximum under last(): the window orders by the FULL
+    payload struct ascending, so the LAST row in frame order (the one
+    carried forward) is the struct-maximum — pinned and stable across
+    partitionings."""
+    from datetime import datetime
+
+    from hope_graph_builder_spark.operators.temporal import asof_join
+
+    T = datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, 7, T("2024-01-01T12:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right_rows = [
+        (7, 100, T("2024-01-01T10:00:00"), 5.0),   # tie on (user, ts, event_id)
+        (7, 100, T("2024-01-01T10:00:00"), 2.0),
+    ]
+    for nparts in (1, 4):
+        right = spark.createDataFrame(
+            right_rows, "user_id long, event_id long, ts timestamp, value double"
+        ).repartition(nparts)
+        r = asof_join(left, right, by="user_id",
+                      payload=["event_id", "ts", "value"]).first()
+        # full-struct order: (100, ts, 2.0) < (100, ts, 5.0) → last = 5.0
+        assert r.prev_value == 5.0, f"nondeterministic tie at nparts={nparts}"

@@ -55,14 +55,25 @@ def test_streaming_webtext_signals_match_batch(spark, tmp_path):
         streaming_webtext_signals,
     )
 
+    from hope_graph_builder_spark.operators import text as textops
+    from hope_graph_builder_spark.operators.extract import extract_text
+
     pages = markup_pages(synth.pages(spark, SF_TINY))
     src = str(tmp_path / "pages_stream")
     # two files → two triggers
     pages.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
     pages.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
 
+    # train-batch / serve-stream: profiles trained once in batch (the
+    # same self-training corpus the batch pipeline uses), carried into
+    # the stream as literals
+    prof_df = textops.train_lang_profiles(
+        extract_text(pages), text="extracted_text", lang="lang"
+    )
+    profiles = textops.collect_profiles(prof_df)
+
     q = (
-        streaming_webtext_signals(read_pages_stream(spark, src))
+        streaming_webtext_signals(read_pages_stream(spark, src), profiles=profiles)
         .writeStream.format("memory")
         .queryName("webtext_sig_test")
         .outputMode("append")
@@ -71,11 +82,15 @@ def test_streaming_webtext_signals_match_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     stream_out = spark.table("webtext_sig_test")
-    batch_out = streaming_webtext_signals(spark.read.parquet(src))
+    batch_out = streaming_webtext_signals(spark.read.parquet(src), profiles=profiles)
     assert stream_out.count() == batch_out.count() == pages.count() > 0
     assert stream_out.exceptAll(batch_out).count() == 0
     assert batch_out.exceptAll(stream_out).count() == 0
-    # consistency with the full batch pipeline's shared columns
-    full = run_webtext_ingest(pages).select("doc_id", "lang_pred", "quality", "n_tokens")
-    j = stream_out.select("doc_id", "lang_pred", "quality", "n_tokens")
+    # consistency with the full batch pipeline (v2: trigram lang_pred,
+    # repetition gate): the per-row Column classifier must equal the
+    # batch broadcast-join classifier on every shared column
+    full = run_webtext_ingest(pages).select(
+        "doc_id", "lang_pred", "quality", "n_tokens", "rep_pass"
+    )
+    j = stream_out.select("doc_id", "lang_pred", "quality", "n_tokens", "rep_pass")
     assert j.exceptAll(full).count() == 0
