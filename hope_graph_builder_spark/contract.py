@@ -22,6 +22,7 @@ from hope_graph_builder_spark.operators.noise import (
 from hope_graph_builder_spark.operators.sampling import sample_edges
 from hope_graph_builder_spark.operators.spatial_join import (
     dwithin_join,
+    dwithin_polyline_join,
     pip_join_rect,
     with_point_cell,
 )
@@ -247,6 +248,97 @@ def q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = synth.page_points(spark, sf_dir).select("doc_id", "x", "y")
     edges = synth.page_edges(spark, sf_dir).select("edge_id", "x1", "y1", "x2", "y2")
     return dwithin_join(pts, edges, dist=30.0, res=9).select("edge_id", "doc_id")
+
+
+@register(
+    "dwithin_polylines",
+    f"""
+    WITH pts AS ({synth.sql_points()}),
+    pl AS ({synth.sql_polylines()}),
+    seg AS (
+      SELECT edge_id,
+             unnest(list_slice(xs, 1, len(xs) - 1)) AS x1,
+             unnest(list_slice(xs, 2, len(xs)))     AS x2,
+             unnest(list_slice(ys, 1, len(ys) - 1)) AS y1,
+             unnest(list_slice(ys, 2, len(ys)))     AS y2
+      FROM pl
+    ),
+    t AS (
+      SELECT s.edge_id, p.doc_id, s.x1, s.y1,
+             s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy, p.x AS px, p.y AS py,
+             CASE WHEN (s.x2 - s.x1)*(s.x2 - s.x1) + (s.y2 - s.y1)*(s.y2 - s.y1) > 0
+                  THEN least(greatest(
+                         ((p.x - s.x1)*(s.x2 - s.x1) + (p.y - s.y1)*(s.y2 - s.y1))
+                         / ((s.x2 - s.x1)*(s.x2 - s.x1) + (s.y2 - s.y1)*(s.y2 - s.y1)),
+                       0.0), 1.0)
+                  ELSE 0.0 END AS tt
+      FROM seg s, pts p
+    ),
+    d2 AS (
+      SELECT edge_id, doc_id,
+             (px - (x1 + tt*dx))*(px - (x1 + tt*dx))
+             + (py - (y1 + tt*dy))*(py - (y1 + tt*dy)) AS d2
+      FROM t
+    )
+    SELECT edge_id, doc_id, min(d2) AS min_d2
+    FROM d2 GROUP BY edge_id, doc_id
+    HAVING min(d2) <= 900.0
+    """,
+)
+def q_dwithin_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 over REAL multi-vertex polylines (the reference's street
+    edges, utils.py:23-30): segments explode narrowly, cell-join +
+    exact distance² refine prune before one (line, point) min
+    aggregation — reported min_d2 is the true polyline distance², so
+    even the float minimum must match the oracle's min over ALL
+    segments bit-for-bit (filter-then-min ≡ min-then-filter under the
+    HAVING threshold)."""
+    pts = synth.page_points(spark, sf_dir).select("doc_id", "x", "y")
+    pl = synth.page_polylines(spark, sf_dir)
+    return dwithin_polyline_join(pts, pl, dist=30.0, res=9)
+
+
+def _sql_pyramid(res_fine: int = 10, res_coarse: int = 7) -> str:
+    """DuckDB twin of tile_pyramid: every level aggregated DIRECTLY from
+    the raw points (the pyramid must equal the direct rollup at every
+    level — decimal-sum associativity is the invariant under test)."""
+    parts = []
+    for r in range(res_coarse, res_fine + 1):
+        size = 131072.0 / (1 << r)
+        parts.append(
+            f"SELECT CAST({r} AS INT) AS res,\n"
+            f"       CAST({r * (1 << 56)} AS BIGINT)\n"
+            f"       + CAST(floor(x / {size!r}) AS BIGINT) * {1 << 28}\n"
+            f"       + CAST(floor(y / {size!r}) AS BIGINT) AS cell,\n"
+            f"       CAST(count(*) AS BIGINT) AS n,\n"
+            f"       CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) AS sum_v\n"
+            f"FROM pts GROUP BY 2"
+        )
+    return (
+        "WITH pts AS (SELECT doc_id, x, y,"
+        " CAST(doc_id % 1000 AS DOUBLE) / CAST(8 AS DOUBLE) AS v FROM ("
+        + synth.sql_points() + "))\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+@register("tile_pyramid", _sql_pyramid())
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style tile rollup (task brief): per-cell (count, sum)
+    at EVERY resolution 7..10 in one job. The engine aggregates raw
+    points once at res 10 and folds each coarser level from the
+    previous one (operators/rollup.tile_pyramid — geometric-series
+    extra cost, ReusedExchange-planned single raw scan); the oracle
+    aggregates every level DIRECTLY from raw, so the pyramid's
+    level-by-level equality to the direct rollup — cells, counts, and
+    decimal-exact sums — is what the hash pins."""
+    from hope_graph_builder_spark.operators.rollup import tile_pyramid
+
+    pts = synth.page_points(spark, sf_dir).select(
+        "doc_id", "x", "y",
+        ((F.col("doc_id") % 1000).cast("double") / F.lit(8.0)).alias("value"),
+    )
+    return tile_pyramid(pts, res_fine=10, res_coarse=7)
 
 
 @register(

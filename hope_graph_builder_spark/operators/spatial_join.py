@@ -280,6 +280,14 @@ def dwithin_join(
     p = with_point_cell(points, x, y, res)
     p, g, keys = _apply_salt(p, g, point_id, salt, hot)
     cand = g.join(F.broadcast(p) if broadcast_points else p, keys, "inner").drop(*keys)
+    return cand.filter(point_segment_dist2(x, y) <= d * d)
+
+
+def point_segment_dist2(x: str, y: str):
+    """Exact point→segment distance² as one codegen'd Column (clamped
+    projection onto [x1,y1]-[x2,y2]; degenerate segment → endpoint
+    distance). The identical association order is mirrored in every
+    DuckDB oracle that shares it."""
     dx = F.col("x2") - F.col("x1")
     dy = F.col("y2") - F.col("y1")
     seg2 = dx * dx + dy * dy
@@ -287,5 +295,65 @@ def dwithin_join(
     t = F.when(seg2 > 0, F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))).otherwise(F.lit(0.0))
     cx = F.col("x1") + t * dx
     cy = F.col("y1") + t * dy
-    dist2 = (F.col(x) - cx) * (F.col(x) - cx) + (F.col(y) - cy) * (F.col(y) - cy)
-    return cand.filter(dist2 <= d * d)
+    return (F.col(x) - cx) * (F.col(x) - cx) + (F.col(y) - cy) * (F.col(y) - cy)
+
+
+def dwithin_polyline_join(
+    points: DataFrame,
+    polylines: DataFrame,
+    dist: float,
+    res: int,
+    x: str = "x",
+    y: str = "y",
+    point_id: str = "doc_id",
+    line_id: str = "edge_id",
+    salt: int = 1,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """points × MULTI-VERTEX polylines within ``dist`` meters →
+    (line_id, point_id, min_d2) — the real-street-edge form of J4 (the
+    reference's edges are polylines, noise_graph_join/utils.py:23-30;
+    dwithin_join handles the 2-vertex special case).
+
+    Plan shape: polylines explode into their segments NARROWLY (an
+    in-partition sequence explode — no shuffle, ~nv rows per line),
+    each segment covers its dist-expanded bbox at ``res``, the
+    cell-equi-join + exact distance² refine prunes BEFORE the single
+    aggregation exchange, and groupBy(line, point) min collapses
+    multi-segment duplicates while reporting the true polyline
+    distance². Same skew valve as the segment path. Filter-then-min
+    equals min-then-filter because any pair with a surviving segment
+    has its global minimum among the survivors."""
+    n = F.size("xs")
+    segs = polylines.select(
+        line_id,
+        F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"),
+        "xs", "ys",
+    ).select(
+        line_id,
+        F.element_at("xs", F.col("_i").cast("int")).alias("x1"),
+        F.element_at("ys", F.col("_i").cast("int")).alias("y1"),
+        F.element_at("xs", (F.col("_i") + 1).cast("int")).alias("x2"),
+        F.element_at("ys", (F.col("_i") + 1).cast("int")).alias("y2"),
+    )
+    d = F.lit(float(dist))
+    seg = (
+        segs
+        .withColumn("_minx", F.least("x1", "x2") - d)
+        .withColumn("_maxx", F.greatest("x1", "x2") + d)
+        .withColumn("_miny", F.least("y1", "y2") - d)
+        .withColumn("_maxy", F.greatest("y1", "y2") + d)
+    )
+    g = with_cover_cells(seg, "_minx", "_miny", "_maxx", "_maxy", res).drop(
+        "_minx", "_miny", "_maxx", "_maxy"
+    )
+    p = with_point_cell(points, x, y, res)
+    p, g, keys = _apply_salt(p, g, point_id, salt, hot)
+    cand = g.join(p, keys, "inner").drop(*keys)
+    d2 = point_segment_dist2(x, y)
+    return (
+        cand.withColumn("_d2", d2)
+        .filter(F.col("_d2") <= d * d)
+        .groupBy(line_id, point_id)
+        .agg(F.min("_d2").alias("min_d2"))
+    )

@@ -419,3 +419,42 @@ def test_asof_join_total_tiebreak_deterministic(spark):
                       payload=["event_id", "ts", "value"]).first()
         # full-struct order: (100, ts, 2.0) < (100, ts, 5.0) → last = 5.0
         assert r.prev_value == 5.0, f"nondeterministic tie at nparts={nparts}"
+
+
+def test_dwithin_polyline_matches_bruteforce(spark):
+    """dwithin_polyline_join (segment explode → cell join → refine →
+    min agg) ≡ the brute-force cross-join min over every segment; the
+    salted variant is identical too."""
+    from hope_graph_builder_spark.operators.spatial_join import (
+        dwithin_polyline_join,
+        point_segment_dist2,
+    )
+
+    pts = synth.page_points(spark, SF_TINY).select("doc_id", "x", "y").limit(200)
+    pl = synth.page_polylines(spark, SF_TINY).limit(200)
+    out = dwithin_polyline_join(pts, pl, dist=30.0, res=9)
+    n = F.size("xs")
+    segs = pl.select(
+        "edge_id",
+        F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"),
+        "xs", "ys",
+    ).select(
+        "edge_id",
+        F.element_at("xs", F.col("_i").cast("int")).alias("x1"),
+        F.element_at("ys", F.col("_i").cast("int")).alias("y1"),
+        F.element_at("xs", (F.col("_i") + 1).cast("int")).alias("x2"),
+        F.element_at("ys", (F.col("_i") + 1).cast("int")).alias("y2"),
+    )
+    brute = (
+        segs.crossJoin(pts)
+        .withColumn("_d2", point_segment_dist2("x", "y"))
+        .groupBy("edge_id", "doc_id")
+        .agg(F.min("_d2").alias("min_d2"))
+        .filter(F.col("min_d2") <= 900.0)
+    )
+    assert out.exceptAll(brute).count() == 0
+    assert brute.exceptAll(out).count() == 0
+    assert out.count() > 0
+    salted = dwithin_polyline_join(pts, pl, dist=30.0, res=9, salt=4)
+    assert salted.exceptAll(out).count() == 0
+    assert out.exceptAll(salted).count() == 0

@@ -159,3 +159,39 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     # what must NEVER appear is a data×data CartesianProduct
     assert plan.count("BroadcastExchange") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_tile_pyramid_single_raw_scan(spark):
+    """The pyramid's coarser levels must fold the FINEST level's
+    aggregate, not rescan raw data: each level is checkpointed before
+    the next folds it (measured: Catalyst does NOT reuse the base
+    exchange across union branches), so the final union plan contains
+    ZERO raw file scans — and every level equals the direct per-level
+    rollup."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators.rollup import tile_pyramid
+    from hope_graph_builder_spark.spatial.cells import cell_id_expr
+
+    pts = __import__("hope_graph_builder_spark.synth", fromlist=["synth"]).page_points(
+        spark, SF_TINY
+    ).select(
+        "doc_id", "x", "y",
+        ((F.col("doc_id") % 1000).cast("double") / F.lit(8.0)).alias("value"),
+    )
+    out = tile_pyramid(pts, res_fine=10, res_coarse=7)
+    plan = _plan(out)
+    assert "Scan parquet" not in plan and "FileScan" not in plan, plan[:2000]
+    # level-by-level equality with the direct rollup
+    for r in (7, 9):
+        direct = (
+            pts.select(
+                cell_id_expr(F.col("x"), F.col("y"), r).alias("cell"),
+                F.bround(F.col("value"), 5).cast("decimal(20,10)").alias("_v"),
+            )
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"), F.sum("_v").cast("double").alias("sum_v"))
+        )
+        lvl = out.filter(F.col("res") == r).select("cell", "n", "sum_v")
+        assert lvl.exceptAll(direct).count() == 0
+        assert direct.exceptAll(lvl).count() == 0
