@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark.sql import SparkSession
+
 from hope_graph_builder_spark.operators import text as textops
 from hope_graph_builder_spark.operators.dedup import dedup_clusters
 from hope_graph_builder_spark.operators.extract import extract_text
@@ -92,3 +94,106 @@ def run_webtext_ingest(
             "rep_pass", "cluster_id", "keep",
         )
     )
+
+
+def run_webtext_ingest_checkpointed(
+    spark: SparkSession,
+    pages: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    quality_min: float = 0.5,
+    profiles: DataFrame | None = None,
+    buckets: int = 64,
+) -> dict:
+    """The RESUMABLE form of run_webtext_ingest (north rule: every
+    stage writes per-partition lineage rows and a killed job resumes
+    at partition granularity):
+
+    - stage ``webtext_signals`` — the embarrassingly-parallel per-doc
+      prefix (extract + trigram lang + quality + tokens + repetition
+      + the extracted text itself), bucketed by
+      pmod(xxhash64(doc_id), buckets) as the manifest tile_group:
+      a killed job resumes at bucket granularity, completed buckets
+      are never recomputed (manifest anti-join).
+    - stage ``webtext_final_<fp>`` — the GLOBAL near-dup clustering +
+      quality-first canonical keep over the COMMITTED signal table.
+      Clustering is a global fixpoint, so its manifest rows are only
+      valid for one exact stage-1 content: ``<fp>`` is the xor-fold of
+      the committed signal buckets' checksums, so a resume over the
+      SAME committed signals skips finished final buckets, while any
+      change to the signal set (more buckets landed after the crash)
+      keys a fresh stage-2 namespace and recomputes the global
+      fixpoint instead of mixing stale cluster labels.
+
+    Profile training (when ``profiles`` is None) runs on the raw
+    labeled pages — deterministic on the full input, so resume runs
+    reproduce identical predictions — on resume the INPUT must be the
+    same job's input (self-trained profiles over a different corpus
+    would mix prediction vintages across buckets; pass explicit
+    ``profiles`` when in doubt). Returns both stages' counters plus
+    ``final_stage``; read the product with
+    checkpoint.manifest.read_stage(spark, root, result['final_stage'])."""
+    from hope_graph_builder_spark.checkpoint.manifest import read_stage, run_stage
+
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+    ex = extract_text(pages).select(
+        id_col, "url", F.col("extracted_text"),
+        *([] if profiles is not None else [F.col("lang")]),
+    )
+    if profiles is None:
+        profiles = textops.train_lang_profiles(
+            ex.filter(F.col("lang").isNotNull()), text="extracted_text", lang="lang"
+        )
+    lang = textops.lang_pred_ngram(
+        ex, profiles, text="extracted_text", id_col=id_col, out="lang_pred"
+    )
+    t = F.col("extracted_text")
+    sig = (
+        ex.select(
+            id_col, "url", "extracted_text",
+            F.bround(textops.quality_score(t), 6).alias("quality"),
+            textops.token_count(t).cast("long").alias("n_tokens"),
+            textops.repetition_flags(t).alias("rep_pass"),
+        )
+        .join(lang, id_col)
+        .withColumn("tile_group", bucket)
+    )
+    c1 = run_stage(spark, sig, "webtext_signals", root)
+
+    committed = read_stage(spark, root, "webtext_signals")
+    from hope_graph_builder_spark.checkpoint.manifest import read_manifest
+
+    fp_row = (
+        read_manifest(spark, root)
+        .filter((F.col("stage") == "webtext_signals") & (F.col("status") == "done"))
+        .agg(
+            F.bit_xor("checksum").alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    fp = f"{(fp_row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}_{fp_row['n']}"
+    final_stage = f"webtext_final_{fp}"
+    clusters = dedup_clusters(
+        committed.select(id_col, F.col("extracted_text").alias("text")),
+        id_col=id_col,
+    ).select(id_col, "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("rep_pass"), F.desc("quality"), F.asc(id_col)
+    )
+    final = (
+        committed.join(clusters, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "keep",
+            (F.col("_rn") == 1)
+            & (F.col("quality") >= F.lit(float(quality_min)))
+            & F.col("rep_pass"),
+        )
+        .select(
+            id_col, "url", "lang_pred", "quality", "n_tokens",
+            "rep_pass", "cluster_id", "keep", "tile_group",
+        )
+    )
+    c2 = run_stage(spark, final, final_stage, root)
+    return {"signals": c1, "final": c2, "final_stage": final_stage}

@@ -87,3 +87,60 @@ def test_debug_sink_tap(spark, tmp_path):
     assert spark.read.parquet(out).count() == 10
     sch = json.load(open(os.path.join(out, "_schema.json")))
     assert sch["fields"][0]["name"] == "v"
+
+
+def test_webtext_ingest_checkpointed_kill_resume(spark, tmpdir):
+    """Resumable CC ingest: a bucket-aligned partial run (the crash
+    surrogate — dynamic partition overwrite means a mid-write kill
+    leaves uncommitted groups that replay identically) is resumed by a
+    full run that (a) skips every completed signal bucket, (b) detects
+    the grown signal set via the stage-2 content fingerprint and
+    re-runs the GLOBAL clustering in a fresh namespace, and (c) ends
+    byte-equal to the never-killed pipeline."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators import text as textops
+    from hope_graph_builder_spark.operators.extract import extract_text, markup_pages
+    from hope_graph_builder_spark.pipelines.webtext import (
+        run_webtext_ingest,
+        run_webtext_ingest_checkpointed,
+    )
+
+    pages = markup_pages(synth.pages(spark, SF_TINY))
+    # fixed profiles: resume determinism must not depend on which
+    # input-half trained them
+    profiles = textops.train_lang_profiles(
+        extract_text(pages), text="extracted_text", lang="lang"
+    ).localCheckpoint()
+
+    B = 16
+    half = pages.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(B)) < B // 2)
+    c_part = run_webtext_ingest_checkpointed(
+        spark, half, tmpdir, profiles=profiles, buckets=B
+    )
+    assert 0 < c_part["signals"]["groups_written"] <= B // 2
+
+    c_full = run_webtext_ingest_checkpointed(
+        spark, pages, tmpdir, profiles=profiles, buckets=B
+    )
+    # completed signal buckets were skipped, the rest written
+    assert c_full["signals"]["groups_skipped"] == c_part["signals"]["groups_written"]
+    assert c_full["signals"]["groups_written"] > 0
+    # the grown signal set keyed a NEW final namespace (no stale
+    # cluster labels from the half-corpus fixpoint)
+    assert c_full["final_stage"] != c_part["final_stage"]
+
+    from hope_graph_builder_spark.checkpoint.manifest import read_stage
+
+    got = read_stage(spark, tmpdir, c_full["final_stage"]).drop("tile_group")
+    want = run_webtext_ingest(pages, profiles=profiles)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # idempotent re-run: everything skips
+    c_again = run_webtext_ingest_checkpointed(
+        spark, pages, tmpdir, profiles=profiles, buckets=B
+    )
+    assert c_again["signals"]["groups_written"] == 0
+    assert c_again["final"]["groups_written"] == 0

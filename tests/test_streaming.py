@@ -94,3 +94,53 @@ def test_streaming_webtext_signals_match_batch(spark, tmp_path):
     )
     j = stream_out.select("doc_id", "lang_pred", "quality", "n_tokens", "rep_pass")
     assert j.exceptAll(full).count() == 0
+
+
+def test_streaming_interval_join_stream_static(spark, tmp_path):
+    """operators/temporal.interval_join works UNCHANGED over a
+    streaming points side (including the heavy-tail cover valve): the
+    interval side is static and pre-exploded, the join is a
+    stream-static equi-join + stateless refine — no state store, no
+    watermark needed. Stream result == batch result."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators.temporal import interval_join
+
+    e = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    w = e.filter(F.col("event_id") % 17 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + F.make_interval(
+                secs=F.when(
+                    F.col("event_id") % 5 == 0,
+                    F.lit(200000) + F.col("event_id") * 7 % 400000,
+                ).otherwise(F.lit(1000) + F.col("event_id") * 13 % 5000).cast("double")
+            )
+        ).alias("end_ts"),
+    )
+    p = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    src = str(tmp_path / "points_stream")
+    p.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    p.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    p_stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        interval_join(p_stream, w, max_cover=16)
+        .select("event_id", "window_id")
+        .writeStream.format("memory")
+        .queryName("interval_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("interval_stream_test")
+    want = interval_join(p, w, max_cover=16).select("event_id", "window_id")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
