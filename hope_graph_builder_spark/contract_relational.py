@@ -543,6 +543,65 @@ def q_asof_join(spark, sf_dir):
     return asof_join(left, right, by="user_id", payload=["event_id", "ts", "value"])
 
 
+_GF_LO = 1704412800 // 3600  # 2024-01-05 00:00 UTC, hour bins
+_GF_HI = 1704585600 // 3600  # 2024-01-07 00:00 UTC
+
+
+@register(
+    "t_gapfill_locf",
+    f"""
+    WITH s AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bin, ts, event_id, value
+      FROM events
+      WHERE CAST(floor(epoch(ts) / 3600) AS BIGINT) >= {_GF_LO}
+        AND CAST(floor(epoch(ts) / 3600) AS BIGINT) < {_GF_HI}
+    ),
+    obs AS (
+      SELECT user_id, bin, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, bin ORDER BY ts DESC, event_id DESC) AS rn
+        FROM s) WHERE rn = 1
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    grid AS (SELECT user_id, unnest(range({_GF_LO}, {_GF_HI})) AS bin FROM keys),
+    j AS (
+      SELECT g.user_id, g.bin, o.value
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bin = g.bin
+    )
+    SELECT user_id, CAST(bin * 3600 AS BIGINT) AS bucket_s,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           value IS NOT NULL AS observed
+    FROM j
+    """,
+)
+def q_gapfill_locf(spark, sf_dir):
+    """Hypertable time_bucket_gapfill + locf (operators/temporal.
+    gapfill_locf): every key × every hour bucket of a 2-day literal
+    window; a bucket's value is its LAST observation (ts desc,
+    event_id desc — total order), empty buckets carry forward, leading
+    empties stay NULL. The oracle replays bucketing, the per-bucket
+    argmax, the grid, and the IGNORE NULLS carry — row counts
+    (keys × buckets exactly), carried values, and the observed flags
+    all hash-pinned."""
+    from hope_graph_builder_spark.operators.temporal import gapfill_locf
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = gapfill_locf(
+        e.select("user_id", "ts", "value", "event_id"),
+        by="user_id", ts="ts", value="value", bucket_seconds=3600,
+        start_ts="2024-01-05 00:00:00", end_ts="2024-01-07 00:00:00",
+        id_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "value_filled",
+        "observed",
+    )
+
+
 @register(
     "f18_combined",
     """

@@ -869,6 +869,69 @@ def q_webtext_ingest(spark, sf_dir):
 
 
 
+@register(
+    "w_host_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             'https://' || CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END
+             || lang || CAST(doc_id % 7 AS VARCHAR) || '.example.'
+             || CASE WHEN doc_id % 2 = 0 THEN 'org' ELSE 'net' END
+             || CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END
+             || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id % 101 AS DOUBLE) / CAST(100 AS DOUBLE) AS q,
+             doc_id % 999 AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT lower(string_split(
+               list_extract(string_split(string_split(url, '/')[3], '@'), -1),
+               ':')[1]) AS host,
+             q, t FROM d
+    ),
+    agg AS (
+      SELECT host, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(round_even(q, 6) AS DECIMAL(20,10))) AS DOUBLE)
+               / count(*) AS mean_quality
+      FROM h GROUP BY host
+    )
+    SELECT host, n_docs, n_tokens, mean_quality,
+           string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] AS domain
+    FROM agg
+    """,
+)
+def q_host_stats(spark, sf_dir):
+    """Per-host corpus stats (operators/web.host_stats) over an
+    adversarial URL fixture — userinfo ('user:pw@') on every 13th url,
+    an explicit port on every 5th, two TLDs: hostname extraction must
+    strip both, stats aggregate on the clean host key (decimal-exact
+    mean quality), and the last-two-labels registered-domain
+    approximation rides along. Split/substring parsing only — both
+    engines byte-agree with no regex."""
+    from hope_graph_builder_spark.operators import web
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+            F.col("lang"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example."),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("org")).otherwise(F.lit("net")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(":8443")).otherwise(F.lit("")),
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        ((F.col("doc_id") % 101).cast("double") / F.lit(100.0)).alias("quality"),
+        (F.col("doc_id") % 999).alias("n_tokens"),
+    )
+    stats = web.host_stats(d)
+    dom = d.select(
+        web.host_expr(F.col("url")).alias("host"),
+        web.registered_domain_expr(F.col("url")).alias("domain"),
+    ).distinct()
+    return stats.join(dom, "host")
+
+
 def _sql_cos(a: str, b: str) -> str:
     return (
         f"{_SQL_VDOT.format(a=a, b=b)}"

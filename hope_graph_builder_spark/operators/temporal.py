@@ -107,6 +107,67 @@ def _interval_join_level(
     )
 
 
+def gapfill_locf(
+    series: DataFrame,
+    by: str,
+    ts: str,
+    value: str,
+    bucket_seconds: int,
+    start_ts: str,
+    end_ts: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Regular time grid per key with last-observation-carried-forward
+    — the hypertable ``time_bucket_gapfill(..., locf(...))`` shape:
+    → (by, bucket_ts, value_filled, observed).
+
+    Semantics: buckets of ``bucket_seconds`` over the half-open
+    [start_ts, end_ts) literal window; each key contributes a row for
+    EVERY bucket; a bucket's own value is its last observation
+    (latest ts; ties broken on ``id_col`` descending — a total order,
+    same discipline as asof_join); empty buckets carry the previous
+    bucket's value forward; leading empties stay NULL. ``observed``
+    marks buckets with a real observation.
+
+    Plan shape: the grid is keys × an exploded literal sequence (tiny
+    — no data shuffle to build), the per-bucket reduce is one
+    aggregation on (key, bucket), the fill is one keyed, time-ordered
+    window — the same single-exchange shape as asof_join, linear at
+    any scale."""
+    b = F.lit(int(bucket_seconds))
+    lo = F.floor(F.unix_timestamp(F.lit(start_ts)) / b)
+    hi = F.floor(F.unix_timestamp(F.lit(end_ts)) / b)
+    order = [F.col(ts).desc()] + ([F.col(id_col).desc()] if id_col else [])
+    wb = Window.partitionBy(by, "_bin").orderBy(*order)
+    obs = (
+        series.withColumn("_bin", F.floor(F.unix_timestamp(F.col(ts)) / b))
+        .filter((F.col("_bin") >= lo) & (F.col("_bin") < hi))
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select(by, "_bin", F.col(value).alias("_v"))
+    )
+    grid = (
+        series.select(by).distinct()
+        .select(F.col(by), F.explode(F.sequence(lo, hi - 1)).alias("_bin"))
+    )
+    wf = (
+        Window.partitionBy(by)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [by, "_bin"], "left")
+        .withColumn("observed", F.col("_v").isNotNull())
+        .withColumn("value_filled", F.last("_v", ignorenulls=True).over(wf))
+        .select(
+            by,
+            F.timestamp_seconds(F.col("_bin") * b).alias("bucket_ts"),
+            "value_filled",
+            "observed",
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

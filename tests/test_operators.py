@@ -458,3 +458,62 @@ def test_dwithin_polyline_matches_bruteforce(spark):
     salted = dwithin_polyline_join(pts, pl, dist=30.0, res=9, salt=4)
     assert salted.exceptAll(out).count() == 0
     assert out.exceptAll(salted).count() == 0
+
+
+def test_host_and_domain_extraction(spark):
+    """host_expr strips scheme, userinfo, port; lowercases.
+    registered_domain_expr = last two labels (documented
+    public-suffix approximation)."""
+    from hope_graph_builder_spark.operators import web
+
+    rows = [
+        ("https://Example.ORG/x", "example.org", "example.org"),
+        ("http://a.b.example.net:8080/p?q=1", "a.b.example.net", "example.net"),
+        ("https://user:pw@Sub.Host.Org/", "sub.host.org", "host.org"),
+        ("https://localhost/x", "localhost", "localhost"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+    got = df.select(
+        web.host_expr(F.col("url")).alias("h"),
+        web.registered_domain_expr(F.col("url")).alias("d"),
+    ).collect()
+    for (u, h, d), r in zip(rows, got):
+        assert r.h == h, (u, r.h)
+        assert r.d == d, (u, r.d)
+
+
+def test_gapfill_locf_semantics(spark):
+    """Constructed series: bucket-local last-observation wins (ts then
+    id tie-break), gaps carry forward, leading gaps stay NULL, every
+    key gets every bucket."""
+    from datetime import datetime
+
+    from hope_graph_builder_spark.operators.temporal import gapfill_locf
+
+    T = datetime.fromisoformat
+    rows = [
+        # key 1: two obs in bucket 01:00 (same ts → id tie-break), gap at 02:00
+        (1, T("2024-01-01T01:10:00"), 10.0, 100),
+        (1, T("2024-01-01T01:10:00"), 11.0, 101),  # higher id wins
+        (1, T("2024-01-01T03:05:00"), 12.0, 102),
+        # key 2: first obs only in the second bucket → leading NULL
+        (2, T("2024-01-01T01:30:00"), 20.0, 200),
+        # outside the window → ignored
+        (1, T("2024-01-02T00:00:00"), 99.0, 103),
+    ]
+    s = spark.createDataFrame(rows, "k long, ts timestamp, value double, event_id long")
+    out = gapfill_locf(
+        s, by="k", ts="ts", value="value", bucket_seconds=3600,
+        start_ts="2024-01-01 00:00:00", end_ts="2024-01-01 05:00:00",
+        id_col="event_id",
+    )
+    got = {(r.k, r.bucket_ts.hour): (r.value_filled, r.observed) for r in out.collect()}
+    assert len(got) == 2 * 5  # every key × every bucket
+    assert got[(1, 0)] == (None, False)          # leading gap stays NULL
+    assert got[(1, 1)] == (11.0, True)           # id tie-break: 101 wins
+    assert got[(1, 2)] == (11.0, False)          # carried forward
+    assert got[(1, 3)] == (12.0, True)
+    assert got[(1, 4)] == (12.0, False)
+    assert got[(2, 0)] == (None, False)
+    assert got[(2, 1)] == (20.0, True)
+    assert got[(2, 4)] == (20.0, False)
