@@ -129,11 +129,13 @@ def gapfill_locf(
     bucket's value forward; leading empties stay NULL. ``observed``
     marks buckets with a real observation.
 
-    Plan shape: the grid is keys × an exploded literal sequence (tiny
-    — no data shuffle to build), the per-bucket reduce is one
-    aggregation on (key, bucket), the fill is one keyed, time-ordered
-    window — the same single-exchange shape as asof_join, linear at
-    any scale."""
+    Plan shape (audited on this repo's fixture): two hash exchanges —
+    (key, bucket) for the in-bucket last-observation window, and (key)
+    shared by the grid build and the carry-forward window; the
+    grid↔obs equi-join broadcasts when the reduced observation table
+    (≤ one row per non-empty bucket) fits, and falls back to a shuffle
+    that reuses those same partitionings otherwise. No nested loop;
+    linear at any scale."""
     b = F.lit(int(bucket_seconds))
     lo = F.floor(F.unix_timestamp(F.lit(start_ts)) / b)
     hi = F.floor(F.unix_timestamp(F.lit(end_ts)) / b)
