@@ -262,6 +262,54 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def _sql_simhash63() -> str:
+    """63-bit simhash VALUE (bit 63 unused → positive, constructible
+    in DuckDB BIGINT arithmetic — the 64-bit form needs the hex detour
+    of d_simhash)."""
+    return " + ".join(
+        f"({_sql_simhash_bit(b)}) * {1 << b}" for b in range(63)
+    )
+
+
+@register(
+    "d_simhash_pairs",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 25 = 0
+    ),
+    th AS (
+      SELECT doc_id,
+             list_transform(list_distinct({_SQL_TOKENS}),
+                            t -> CAST(('0x' || substr(md5(t),1,15)) AS BIGINT)) AS hs,
+             list_transform(list_distinct({_SQL_TOKENS}),
+                            t -> CAST(('0x' || substr(md5(t || '#b'),1,15)) AS BIGINT)) AS hs2
+      FROM corpus
+    ),
+    sv AS (SELECT doc_id, {_sql_simhash63()} AS sh FROM th)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+    FROM sv x JOIN sv y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.sh, y.sh)) <= 3
+    """,
+)
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS (dedup.simhash_dup_pairs): 4-band
+    Hamming-ball index with a pigeonhole EXACT-recall guarantee at
+    radius 3 — the engine's banded join + popcount verify must equal
+    the oracle's brute-force all-pairs popcount filter EXACTLY
+    (corpus = documents + exact copies of every 25th doc, so
+    hamming-0 pairs provably exist)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.simhash_dup_pairs(corpus, max_hamming=3)
+
+
 @register(
     "d_ngram_jaccard",
     f"""
@@ -726,6 +774,51 @@ def q_connected_components(spark, sf_dir):
     """G2 re-expression: iterative min-label propagation; DuckDB oracle
     is a recursive-CTE reachability closure."""
     return connected_components(_graph_edges(spark, sf_dir))
+
+
+def _sql_pagerank(iters: int = 3, dp: int = 5) -> str:
+    """DuckDB twin of operators/graph.pagerank: the iterations
+    unrolled as CTE pairs (quantized contributions → decimal sum →
+    damped update), over the same hash-edge fixture."""
+    e = (
+        f"SELECT ((doc_id * {synth.A1} + {synth.C1}) % {synth.MOD}) % {N_GRAPH_NODES} AS src,"
+        f" ((doc_id * {synth.A2} + {synth.C2}) % {synth.MOD}) % {N_GRAPH_NODES} AS dst"
+        " FROM documents"
+    )
+    ctes = [
+        f"e AS ({e})",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "r0 AS (SELECT id, CAST(1 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS id,"
+            f" CAST(round_even(r.rank / deg.deg, {dp}) AS DECIMAL(20,10)) AS c"
+            f" FROM e JOIN r{i - 1} r ON r.id = e.src JOIN deg ON deg.src = e.src)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT id, CAST(sum(c) AS DOUBLE) AS s FROM c{i} GROUP BY id)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.id,"
+            f" round_even(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)"
+            f" * coalesce(s{i}.s, CAST(0 AS DOUBLE)), {dp}) AS rank"
+            f" FROM nodes n LEFT JOIN s{i} ON s{i}.id = n.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank FROM r{iters}"
+
+
+@register("g_pagerank", _sql_pagerank())
+def q_pagerank(spark, sf_dir):
+    """Quantized PageRank (operators/graph.pagerank), 3 power
+    iterations of r' = 0.15 + 0.85·Σ r/outdeg with quantize-then-
+    decimal-sum contributions — every node's rank double must match
+    the unrolled SQL twin exactly (the whole iteration TRAJECTORY is
+    order-free, not just the final histogram)."""
+    from hope_graph_builder_spark.operators.graph import pagerank
+
+    return pagerank(_graph_edges(spark, sf_dir), iters=3)
 
 
 # ------------------------------------------------------ text extraction --

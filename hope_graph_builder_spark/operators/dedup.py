@@ -177,6 +177,61 @@ def simhash16(text: Column) -> Column:
     return simhash(text, bits=16)
 
 
+# 63-bit simhash split into 4 disjoint bit bands. Pigeonhole: any pair
+# within Hamming distance 3 has at least one band with ZERO differing
+# bits, so banding is a COMPLETE index (exact recall, no
+# approximation) for max_hamming <= 3.
+SIMHASH_BANDS = ((0, 16), (16, 16), (32, 16), (48, 15))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS (a < b, hamming ≤ max_hamming) —
+    the Hamming-ball twin of minhash_dup_pairs: 63-bit simhash (bit 63
+    unused so the value is positive and engine-portable), candidate
+    pairs from equi-joins on 4 disjoint bit bands, exact popcount
+    verify on candidates only.
+
+    For ``max_hamming ≤ 3`` the result is EXACT (pigeonhole over the
+    4 bands — every qualifying pair collides in some band); larger
+    radii lose the guarantee and the operator refuses rather than
+    silently under-recalling. Plan shape: one narrow simhash scan,
+    4 self-equi-joins on 16-bit keys (uniform hash keys, no skew),
+    pair-dedup BEFORE the popcount verify — linear in corpus size,
+    quadratic only within identical-band buckets."""
+    if max_hamming > len(SIMHASH_BANDS) - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound "
+            f"{len(SIMHASH_BANDS) - 1} of the {len(SIMHASH_BANDS)}-band index"
+        )
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col), bits=63).alias("_sh")
+    )
+    bands = []
+    for t, (off, width) in enumerate(SIMHASH_BANDS):
+        key = F.shiftright(F.col("_sh"), off).bitwiseAND(F.lit((1 << width) - 1))
+        bands.append(sh.select("_id", "_sh", F.lit(t).alias("_t"), key.alias("_k")))
+    bb = bands[0]
+    for b in bands[1:]:
+        bb = bb.unionByName(b)
+    x = bb.select(F.col("_id").alias("a"), F.col("_sh").alias("sa"), "_t", "_k")
+    y = bb.select(F.col("_id").alias("b"), F.col("_sh").alias("sb"), "_t", "_k")
+    cand = (
+        x.join(y, ["_t", "_k"], "inner")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(ham <= max_hamming).select(
+        "a", "b", ham.cast("int").alias("hamming")
+    )
+
+
 def lsh_jaccard_verify(
     df: DataFrame,
     threshold: float = 0.4,

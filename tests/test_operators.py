@@ -517,3 +517,52 @@ def test_gapfill_locf_semantics(spark):
     assert got[(2, 0)] == (None, False)
     assert got[(2, 1)] == (20.0, True)
     assert got[(2, 4)] == (20.0, False)
+
+
+def test_simhash_pairs_exact_recall_and_refusal(spark):
+    """4-band Hamming index == brute-force all-pairs popcount at
+    radius 3 (the pigeonhole guarantee); radii beyond the guarantee
+    refuse instead of silently under-recalling."""
+    import pytest as _pytest
+
+    docs = synth.pages(spark, SF_TINY).select("doc_id", F.col("text"))
+    dup = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup)
+    got = dedup.simhash_dup_pairs(corpus, max_hamming=3)
+    sh = corpus.select(
+        F.col("doc_id").alias("_id"), dedup.simhash(F.col("text"), bits=63).alias("sh")
+    )
+    x = sh.select(F.col("_id").alias("a"), F.col("sh").alias("sa"))
+    y = sh.select(F.col("_id").alias("b"), F.col("sh").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    brute = (
+        x.crossJoin(y).filter(F.col("a") < F.col("b"))
+        .filter(ham <= 3)
+        .select("a", "b", ham.cast("int").alias("hamming"))
+    )
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+    # injected exact copies must appear at hamming 0
+    assert got.filter((F.col("b") - F.col("a") == 50000) & (F.col("hamming") == 0)).count() > 0
+    with _pytest.raises(ValueError, match="exact-recall"):
+        dedup.simhash_dup_pairs(corpus, max_hamming=4)
+
+
+def test_pagerank_hand_computed(spark):
+    """Tiny graph 1→2, 1→3, 2→3 — two iterations computed by hand
+    (unnormalized damped form, r0=1): sources pin at 1−d, the sink
+    accumulates both paths; dangling node 3 contributes nothing."""
+    from hope_graph_builder_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    r1 = {r.id: r.rank for r in pagerank(e, iters=1).collect()}
+    assert r1 == {1: 0.15, 2: 0.575, 3: 1.425}
+    r2 = {r.id: r.rank for r in pagerank(e, iters=2).collect()}
+    assert r2[1] == 0.15
+    # the operator brounds each iteration at 5 dp — round expectations too
+    assert r2[2] == round(0.15 + 0.85 * (0.15 / 2), 5)          # 0.21375
+    assert r2[3] == round(0.15 + 0.85 * (0.15 / 2 + 0.575), 5)  # 0.7025
+    # every rank ≥ the (1−d) floor
+    assert all(v >= 0.15 for v in r2.values())
