@@ -1287,7 +1287,8 @@ def q_lang_ngram_expr(spark, sf_dir):
     tie-breaks, same 'und' fallback."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     profiles = text.collect_profiles(text.train_lang_profiles(docs, top_n=20))
-    return docs.select(
+    d = text.with_char_trigrams(docs, text="text", out="_tri")
+    return d.select(
         "doc_id",
-        text.lang_pred_ngram_expr(F.col("text"), profiles).alias("predicted"),
+        text.lang_pred_ngram_expr(F.col("_tri"), profiles).alias("predicted"),
     )

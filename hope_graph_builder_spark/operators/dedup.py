@@ -33,17 +33,63 @@ def hash60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def _hasher(method: str):
+    """Shingle-hash family for the MinHash path.
+
+    - 'md5' (default): hash60 — engine-PORTABLE, what every DuckDB
+      oracle replays; ~16 md5+base-conversions per shingle make it
+      the expensive verification mode (measured ~4 ms/doc/core on the
+      bench corpus).
+    - 'xx': native xxhash64 — one JVM hash per (shingle, salt),
+      measured ~10× cheaper; semantics identical up to the hash
+      family (exact duplicates still collide in every band), but NOT
+      replayable in DuckDB — production mode, verified by pytest
+      equivalence-on-exact-dups rather than by oracle."""
+    if method == "md5":
+        return hash60
+    if method == "xx":
+        return lambda s: F.xxhash64(s)
+    raise ValueError(f"unknown hash method {method!r} (use 'md5' or 'xx')")
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of the lowercased text; whole text when
-    shorter than n tokens."""
+    shorter than n tokens.
+
+    PERF WARNING: the transform lambda references ``toks`` — as a
+    single Column expression the tokenizing split re-evaluates once
+    PER SHINGLE (O(tokens²) per doc in HOF eval, ×16 in the minhash
+    path). Hot paths hoist via ``with_shingles``; this form is kept
+    for short strings and oracle-parity call sites."""
     toks = tokens(F.lower(text))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return _shingles_of(toks, n)
+
+
+def _shingles_of(toks: Column, n: int = 3) -> Column:
+    """Shingles over a token-array expression — collapse-proof linear
+    form: n shifted slices folded with zip_with (lambdas touch
+    elements only), so ``toks`` is evaluated a CONSTANT n times per
+    row no matter how the optimizer rewrites projections (the old
+    index-transform lambda re-tokenized the text once PER SHINGLE,
+    O(tokens²)·16 in the minhash pass — found via thread dumps)."""
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    parts = [F.slice(toks, k + 1, m) for k in range(n)]
+    sh = parts[0]
+    for nxt in parts[1:]:
+        sh = F.zip_with(sh, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(
         F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", out: str = "_sh",
+                  n: int = 3) -> DataFrame:
+    """``df`` + an ``out`` shingle-array column, with the lowered token
+    array hoisted into its own projection first — the linear form
+    (measured: the inline Column form made the 100k-doc minhash pass
+    run minutes instead of seconds)."""
+    d = df.withColumn("_mh_toks", tokens(F.lower(F.col(text_col))))
+    return d.withColumn(out, _shingles_of(F.col("_mh_toks"), n)).drop("_mh_toks")
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -57,20 +103,30 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = NUM_HASHES
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = NUM_HASHES,
+    hash: str = "md5",
 ) -> DataFrame:
-    """(id, sig: array<long>[k]) — min over shingles of k salted hashes.
+    """(id, sig: array<long>[k]) — min over shingles of k salted hashes
+    of the ``hash`` family (see _hasher: 'md5' = oracle-portable
+    verification mode, 'xx' = ~10× cheaper production mode).
 
     NB: the per-j lambda must be unary — a 2-arg lambda makes Spark's
-    ``transform`` pass the array INDEX as the second argument."""
-    sh = shingles(F.col(text_col))
+    ``transform`` pass the array INDEX as the second argument.
+
+    The shingle array is HOISTED into its own column first
+    (with_shingles), so the k per-salt transforms iterate a
+    materialized per-row array instead of re-tokenizing the text —
+    without the hoist the pass is O(tokens²)·k per document."""
+    d = with_shingles(df, text_col, out="_mh_sh")
+    h = _hasher(hash)
+    sh = F.col("_mh_sh")
 
     def minhash_j(j: int):
         salt = F.lit(f":{j}")
-        return F.array_min(F.transform(sh, lambda s: hash60(F.concat(s, salt))))
+        return F.array_min(F.transform(sh, lambda s: h(F.concat(s, salt))))
 
     sig = F.array(*[minhash_j(j) for j in range(k)])
-    return df.select(F.col(id_col), sig.alias("sig"))
+    return d.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_band_buckets(
@@ -91,10 +147,11 @@ def minhash_band_buckets(
     )
 
 
-def minhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def minhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      hash: str = "md5") -> DataFrame:
     """Candidate near-duplicate pairs (a < b) from LSH buckets —
     self-equi-join on (band, bucket), distinct pairs."""
-    bb = minhash_band_buckets(minhash_signature(df, text_col, id_col), id_col)
+    bb = minhash_band_buckets(minhash_signature(df, text_col, id_col, hash=hash), id_col)
     a = bb.select(F.col(id_col).alias("a"), "band", "bucket")
     b = bb.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
@@ -106,7 +163,8 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def dedup_clusters(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash: str = "md5",
 ) -> DataFrame:
     """The standard web-corpus dedup step the pair list feeds:
     near-duplicate CLUSTERS. MinHash+LSH candidate pairs → weak
@@ -122,7 +180,7 @@ def dedup_clusters(
     non-candidate documents never enter the iteration."""
     from hope_graph_builder_spark.operators.graph import connected_components
 
-    pairs = minhash_dup_pairs(df, text_col, id_col)
+    pairs = minhash_dup_pairs(df, text_col, id_col, hash=hash)
     comp = connected_components(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
@@ -135,6 +193,46 @@ def dedup_clusters(
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def simhash_from(thash: Column, thash2: Column | None, bits: int = 64) -> Column:
+    """SimHash over PRE-HOISTED token-hash array columns (thash =
+    hash60(token) per distinct token; thash2 = the '#b'-salted array,
+    required when bits > 60). The 64 per-bit majority filters iterate
+    materialized arrays — the Column form re-tokenizes and re-hashes
+    every token once PER BIT (64× md5 over the doc, the measured hot
+    cost of the simhash pair index at corpus scale)."""
+    if bits > 60 and thash2 is None:
+        raise ValueError("bits > 60 needs the '#b'-salted hash column")
+    ntok = F.size(thash)
+
+    def bit_term(b: int):
+        src, shift = (thash, b) if b < 60 else (thash2, b - 60)
+        cnt = F.size(
+            F.filter(src, lambda h: F.shiftright(h, shift).bitwiseAND(F.lit(1)) == F.lit(1))
+        )
+        return F.when(
+            cnt * 2 >= ntok, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc.bitwiseOR(bit_term(b))
+    return acc
+
+
+def with_token_hashes(df: DataFrame, text_col: str = "text",
+                      salted: bool = True) -> DataFrame:
+    """``df`` + hoisted distinct-token hash arrays ``_th`` (and
+    ``_th2`` when ``salted``) — the linear feed for simhash_from."""
+    d = df.withColumn("_sh_toks", F.array_distinct(tokens(F.lower(F.col(text_col)))))
+    d = d.withColumn("_th", F.transform(F.col("_sh_toks"), lambda t: hash60(t)))
+    if salted:
+        d = d.withColumn(
+            "_th2",
+            F.transform(F.col("_sh_toks"), lambda t: hash60(F.concat(t, F.lit("#b")))),
+        )
+    return d.drop("_sh_toks")
 
 
 def simhash(text: Column, bits: int = 64) -> Column:
@@ -208,8 +306,9 @@ def simhash_dup_pairs(
             f"max_hamming={max_hamming} exceeds the exact-recall bound "
             f"{len(SIMHASH_BANDS) - 1} of the {len(SIMHASH_BANDS)}-band index"
         )
-    sh = df.select(
-        F.col(id_col).alias("_id"), simhash(F.col(text_col), bits=63).alias("_sh")
+    sh = with_token_hashes(df, text_col).select(
+        F.col(id_col).alias("_id"),
+        simhash_from(F.col("_th"), F.col("_th2"), bits=63).alias("_sh"),
     )
     bands = []
     for t, (off, width) in enumerate(SIMHASH_BANDS):
@@ -244,7 +343,7 @@ def lsh_jaccard_verify(
     stage and quadratic only WITHIN buckets; the exact verifier runs
     on candidate pairs only — never a blocked/blind cross product
     (the 100 TB replacement for ngram_jaccard_pairs' lang blocking)."""
-    base = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    base = with_shingles(df, text_col, out="sh").select(F.col(id_col), "sh")
     cands = minhash_dup_pairs(df, text_col, id_col)
     sa = base.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"))
     sb = base.select(F.col(id_col).alias("b"), F.col("sh").alias("shb"))
@@ -271,8 +370,8 @@ def ngram_jaccard_pairs(
     """Blocked n-gram Jaccard: pairs within a block with
     |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Baseline verifier — at scale
     run it on LSH candidates instead of blocked cross products."""
-    base = df.select(
-        F.col(id_col), F.col(block_col).alias("_blk"), shingles(F.col(text_col)).alias("sh")
+    base = with_shingles(df, text_col, out="sh").select(
+        F.col(id_col), F.col(block_col).alias("_blk"), F.col("sh")
     )
     a = base.select(F.col(id_col).alias("a"), "_blk", F.col("sh").alias("sha"))
     b = base.select(F.col(id_col).alias("b"), "_blk", F.col("sh").alias("shb"))

@@ -42,12 +42,17 @@ def run_webtext_ingest(
     id_col: str = "doc_id",
     quality_min: float = 0.5,
     profiles: DataFrame | None = None,
+    minhash_hash: str = "md5",
 ) -> DataFrame:
     """→ (doc_id, url, lang_pred, quality, n_tokens, rep_pass,
     cluster_id, keep): ``keep`` marks the best member of each near-dup
     cluster (repetition-pass ≻ quality ≻ id) that also clears the
     quality AND repetition gates — `filter("keep")` IS the training
     corpus.
+
+    ``minhash_hash``: 'md5' (default — DuckDB-oracle-portable) or
+    'xx' (native xxhash64, ~10× cheaper minhash pass — the production
+    setting; see operators/dedup._hasher).
 
     ``profiles``: trained character-trigram language profiles
     (plang, tri — operators/text.train_lang_profiles). Defaults to
@@ -66,15 +71,19 @@ def run_webtext_ingest(
         ex, profiles, text="extracted_text", id_col=id_col, out="lang_pred"
     )
     t = F.col("extracted_text")
-    sig = ex.select(
+    # hoist the lowered token array once per row: the repetition
+    # n-grams over an inline split are O(tokens²) (measured engine
+    # trap); size(_toks) == token_count (lowercasing keeps boundaries)
+    sig = ex.withColumn("_toks", textops._lower_tokens(t)).select(
         id_col,
         "url",
         F.bround(textops.quality_score(t), 6).alias("quality"),
-        textops.token_count(t).cast("long").alias("n_tokens"),
-        textops.repetition_flags(t).alias("rep_pass"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        textops.repetition_flags_from(F.col("_toks")).alias("rep_pass"),
     ).join(lang, id_col)
     clusters = dedup_clusters(
-        ex.select(id_col, F.col("extracted_text").alias("text")), id_col=id_col
+        ex.select(id_col, F.col("extracted_text").alias("text")), id_col=id_col,
+        hash=minhash_hash,
     ).select(id_col, "cluster_id")
     out = sig.join(clusters, id_col)
     w = Window.partitionBy("cluster_id").orderBy(
@@ -149,11 +158,12 @@ def run_webtext_ingest_checkpointed(
     )
     t = F.col("extracted_text")
     sig = (
-        ex.select(
+        ex.withColumn("_toks", textops._lower_tokens(t))
+        .select(
             id_col, "url", "extracted_text",
             F.bround(textops.quality_score(t), 6).alias("quality"),
-            textops.token_count(t).cast("long").alias("n_tokens"),
-            textops.repetition_flags(t).alias("rep_pass"),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            textops.repetition_flags_from(F.col("_toks")).alias("rep_pass"),
         )
         .join(lang, id_col)
         .withColumn("tile_group", bucket)

@@ -53,17 +53,19 @@ def streaming_webtext_signals(
     Without profiles, the marker-word heuristic is used."""
     ex = extract_text(pages)
     t = F.col("extracted_text")
-    lang = (
-        textops.lang_pred_ngram_expr(t, profiles)
-        if profiles
-        else textops.lang_id(t)
-    )
-    return ex.select(
+    if profiles:
+        # hoist the trigram array (with_char_trigrams) — the inline
+        # Column form is the measured O(len²) trap
+        ex = textops.with_char_trigrams(ex, text="extracted_text", out="_tri")
+        lang = textops.lang_pred_ngram_expr(F.col("_tri"), profiles)
+    else:
+        lang = textops.lang_id(t)
+    return ex.withColumn("_toks", textops._lower_tokens(t)).select(
         id_col,
         "url",
         lang.alias("lang_pred"),
         F.bround(textops.quality_score(t), 6).alias("quality"),
-        textops.token_count(t).cast("long").alias("n_tokens"),
-        textops.dup_ngram_ratio(t, 2).alias("dup_bi"),
-        textops.repetition_flags(t).alias("rep_pass"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        textops.dup_ngram_ratio_from(F.col("_toks"), 2).alias("dup_bi"),
+        textops.repetition_flags_from(F.col("_toks")).alias("rep_pass"),
     )

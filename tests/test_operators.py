@@ -566,3 +566,24 @@ def test_pagerank_hand_computed(spark):
     assert r2[3] == round(0.15 + 0.85 * (0.15 / 2 + 0.575), 5)  # 0.7025
     # every rank ≥ the (1−d) floor
     assert all(v >= 0.15 for v in r2.values())
+
+
+def test_minhash_fast_hash_mode(spark):
+    """The xxhash64 production mode of the MinHash path: exact
+    duplicates are guaranteed to cluster under ANY hash family
+    (identical shingle sets → identical signatures → same buckets),
+    and unrelated docs stay apart; 'md5' stays the oracle mode."""
+    import pytest as _pytest
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " tail"),
+         (10, "completely different content about spark engines " * 8)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.dedup_clusters(docs, hash="xx").collect()}
+    assert out[1].cluster_id == out[2].cluster_id == 1
+    assert out[3].cluster_id == 1  # near-dup still collides
+    assert out[10].cluster_id == 10
+    with _pytest.raises(ValueError, match="unknown hash"):
+        dedup.minhash_signature(docs, hash="nope")

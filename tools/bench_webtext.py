@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Webtext-ingest scaling evidence — the payload-axis counterpart of
+tools/bench_scaling.py: run the full CC ingest (extract → trigram
+lang → quality/repetition → MinHash+LSH → components → quality-first
+keep) over a densified pages table at one executor shape and print
+one JSON line {"cpus": N, "docs": D, "wall": s, "docs_per_sec": r}.
+
+Densification: documents unioned MULT times with shifted doc_ids and
+a per-copy text salt (so near-dup clusters stay realistic instead of
+every copy collapsing into one giant component).
+
+Usage:
+  SPARK_GRAFT_EXECUTORS=1x2x12288 SPARK_GRAFT_WMULT=20 \
+      python tools/bench_webtext.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark import synth
+    from hope_graph_builder_spark.operators.extract import markup_pages
+    from hope_graph_builder_spark.pipelines.webtext import run_webtext_ingest
+    from hope_graph_builder_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mult = int(os.environ.get("SPARK_GRAFT_WMULT", "20"))
+    hashm = os.environ.get("SPARK_GRAFT_WHASH", "xx")
+    executors = os.environ.get("SPARK_GRAFT_EXECUTORS", "4x2x12288")
+    cores = int(executors.split("x")[0]) * int(executors.split("x")[1])
+    spark = get_spark(app=f"bench_webtext[{cores}]", cpus=cores, executors=executors)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = synth.pages(spark, sf_dir).select("doc_id", "text", "lang")
+    n_base = base.count()
+    copies = spark.range(mult).select(F.col("id").alias("_m"))
+    pages = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("_m") * (n_base + 17)).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" copytag"), F.col("_m").cast("string")
+            ).alias("text"),
+            "lang",
+        )
+        .withColumn(
+            "url",
+            F.concat(F.lit("https://example.org/"), F.col("lang"),
+                     F.lit("/"), F.col("doc_id")),
+        )
+    )
+    pages = markup_pages(pages)
+    # materialize the input once so the timed region is the ENGINE
+    cache = f"/dev/shm/bench_inputs/webtext_m{mult}"
+    if not os.path.exists(cache + "/_SUCCESS"):
+        pages.write.mode("overwrite").parquet(cache)
+    # a small compressed cache file would otherwise plan as ONE input
+    # split (measured: the whole ingest ran on a single task) — spread
+    # the rows across the executor cores explicitly
+    pages = spark.read.parquet(cache).repartition(cores * 4)
+    n_docs = pages.count()
+
+    # warm-up: compile the plan shapes on a small slice
+    tiny = pages.limit(500)
+    run_webtext_ingest(tiny, minhash_hash=hashm).agg(
+        F.bit_xor(F.xxhash64(F.to_json(F.struct("doc_id", "keep")))).alias("x")
+    ).collect()
+
+    t0 = time.time()
+    out = run_webtext_ingest(pages, minhash_hash=hashm)
+    row = out.agg(
+        F.bit_xor(F.xxhash64(F.to_json(F.struct(*out.columns)))).alias("x"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    ).collect()[0]
+    wall = time.time() - t0
+    spark.stop()
+    print(json.dumps({
+        "cpus": cores, "docs": n_docs, "rows": row["n"], "kept": row["kept"],
+        "wall": round(wall, 3), "docs_per_sec": round(n_docs / wall, 1), "hash": hashm,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
