@@ -162,25 +162,53 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def minhash_star_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       hash: str = "md5") -> DataFrame:
+    """Connectivity-preserving LINEAR candidate edges (a < b): per LSH
+    (band, bucket), connect every member to the bucket's MIN id (a
+    star) instead of emitting the bucket clique. A bucket-star has
+    exactly the same reachability as the bucket-clique, so connected
+    components over star edges EQUAL components over minhash_dup_pairs
+    — but the edge count is linear in bucket size where the self-join
+    is quadratic. This is the giant-cluster valve: a corpus where one
+    boilerplate page repeats 10⁵ times puts 10⁵ docs in one bucket —
+    the clique is 5·10⁹ pre-distinct join rows per band (measured JVM
+    OOM at 10² copies × 5·10³ clusters on 12 GB executors), the star
+    is 10⁵. Use minhash_dup_pairs when the PAIR LIST itself is the
+    product (exact-Jaccard verification); use this for clustering."""
+    bb = minhash_band_buckets(minhash_signature(df, text_col, id_col, hash=hash), id_col)
+    hub = bb.groupBy("band", "bucket").agg(F.min(id_col).alias("a"))
+    return (
+        bb.join(hub, ["band", "bucket"])
+        .filter(F.col(id_col) > F.col("a"))
+        .select("a", F.col(id_col).alias("b"))
+        .distinct()
+    )
+
+
 def dedup_clusters(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     hash: str = "md5",
 ) -> DataFrame:
     """The standard web-corpus dedup step the pair list feeds:
-    near-duplicate CLUSTERS. MinHash+LSH candidate pairs → weak
-    connected components over the pair graph → every document labeled
-    with its cluster (min id in the component; singletons label
-    themselves) and a ``keep`` flag for the canonical representative.
-    Downstream, `df.join(clusters, id).filter("keep")` is the dedup.
+    near-duplicate CLUSTERS. MinHash+LSH candidate STAR edges (per
+    (band, bucket) hub — component-equivalent to the clique pairs,
+    linear in bucket size; see minhash_star_pairs) → weak connected
+    components over the pair graph → every document labeled with its
+    cluster (min id in the component; singletons label themselves)
+    and a ``keep`` flag for the canonical representative. Downstream,
+    `df.join(clusters, id).filter("keep")` is the dedup.
 
     100 TB shape: the pair graph is SPARSE (LSH-bucketed, not
-    all-pairs), components run the iterative min-label propagation
-    (operators/graph.py — localCheckpoint lineage cuts, fail-loud),
-    and the final label attach is one broadcast-or-shuffle left join;
+    all-pairs) and giant-duplicate-cluster-proof (star edges bound
+    the per-bucket edge count linearly), components run the iterative
+    min-label propagation (operators/graph.py — localCheckpoint
+    lineage cuts, fail-loud; star graphs converge in 2 rounds), and
+    the final label attach is one broadcast-or-shuffle left join;
     non-candidate documents never enter the iteration."""
     from hope_graph_builder_spark.operators.graph import connected_components
 
-    pairs = minhash_dup_pairs(df, text_col, id_col, hash=hash)
+    pairs = minhash_star_pairs(df, text_col, id_col, hash=hash)
     comp = connected_components(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
@@ -192,6 +220,80 @@ def dedup_clusters(
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 0,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style exact LINE-level dedup across the whole corpus: every
+    line (``sep``-delimited span) that occurs more than once anywhere
+    keeps only its first occurrence — ordered by (doc id, position) —
+    and every other occurrence is dropped from its document. This is
+    the classic boilerplate-removal pass (nav bars, cookie banners,
+    license footers repeat verbatim across millions of pages while the
+    surrounding documents are NOT near-duplicates, so doc-level
+    MinHash never catches them). Lines shorter than ``min_chars`` are
+    exempt (always kept): blank lines and one-word connectives are not
+    boilerplate evidence.
+
+    Returns one row per input document: ``(id, clean_text, n_lines,
+    n_removed)`` with ``clean_text`` the kept lines re-joined by
+    ``sep`` in original order (empty string when every line was
+    removed).
+
+    100 TB shape: posexplode → ONE groupBy(line) whose min(struct(id,
+    pos)) aggregate partially combines map-side — a boilerplate line
+    occurring 10⁸ times collapses to one row per input partition
+    before the shuffle, so the hot-key skew that would break a
+    window-rank formulation never reaches the exchange. The keeper
+    attach is a plain equi-join on the line (AQE skew-split handles
+    the residual join skew), and reassembly is one groupBy(id) with
+    array_sort(collect_list(struct(pos, line))) — no window, no
+    driver round-trip."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    dedupable = F.length(F.col("line")) >= F.lit(min_chars)
+    keepers = (
+        lines.filter(dedupable)
+        .groupBy("line")
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("k"),
+        )
+    )
+    kept = (
+        lines.join(keepers, "line", "left")
+        .filter(
+            F.col("k").isNull()  # exempt short line: never in keepers
+            | ((F.col("k.d") == F.col(id_col)) & (F.col("k.p") == F.col("pos")))
+        )
+        .select(id_col, "pos", "line")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    return (
+        df.select(F.col(id_col), F.size(F.split(F.col(text_col), sep, -1)).alias("n_lines"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
+        )
     )
 
 

@@ -31,19 +31,24 @@ def connected_components(
     the reference uses STRONG mode on a street graph whose edges are
     overwhelmingly paired; weak CC is the distributed re-expression
     (documented deviation for one-way-only subgraphs)."""
+    # checkpoint sym BEFORE deriving labels from it: labels self-unions
+    # sym, so building it from the un-checkpointed plan re-evaluates the
+    # whole upstream edge pipeline (e.g. the MinHash+LSH pair join in
+    # the webtext ingest) two more times (measured; _directed_min_reach
+    # always had the checkpoint-first ordering)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("id"))
         .union(sym.select(F.col("b").alias("id")))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint()
     )
-    sym = sym.localCheckpoint()
-    labels = labels.localCheckpoint()
     changed = 0
     for _ in range(max_iter):
         neigh_min = (
@@ -127,12 +132,20 @@ def strongly_connected_components(
     reachable with that min vertex → settled into component f; remove
     settled vertices and repeat. Rounds ≈ depth of the SCC condensation
     chain along min-ids (small for street networks)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # checkpoint BEFORE deriving all_nodes: the self-union would
+    # otherwise re-evaluate the caller's edge pipeline twice more when
+    # the final left join runs (checkpoint-first ordering, as in
+    # connected_components)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     all_nodes = (
         e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
     )
     settled = None
-    remaining = e.localCheckpoint()
+    remaining = e
     for _ in range(max_rounds):
         if remaining.limit(1).count() == 0:
             break
@@ -270,13 +283,19 @@ def pagerank(
     to the (tiny) rank table, one groupBy(dst) with map-side partial
     decimal sums, one left join back to nodes; localCheckpoint cuts
     the lineage each round (same pattern as connected_components)."""
+    # materialize the edge projection once: the loop references it
+    # every iteration, so an expensive caller pipeline (LSH pairs, a
+    # parsed import) would otherwise re-run ``iters`` times; deg is
+    # likewise loop-invariant (at cluster scale swap localCheckpoint
+    # for a reliable checkpoint dir, as everywhere in this module)
+    edges = edges.select(F.col(src), F.col(dst)).localCheckpoint()
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
         .localCheckpoint()
     )
-    deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
+    deg = edges.groupBy(src).agg(F.count("*").alias("_deg")).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(int(iters)):
         contrib = (

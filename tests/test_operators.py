@@ -587,3 +587,43 @@ def test_minhash_fast_hash_mode(spark):
     assert out[10].cluster_id == 10
     with _pytest.raises(ValueError, match="unknown hash"):
         dedup.minhash_signature(docs, hash="nope")
+
+
+def test_star_pairs_component_equivalent(spark):
+    """The giant-cluster valve: minhash_star_pairs emits per-bucket
+    STAR edges (member → bucket-min hub) instead of the bucket clique.
+    Reachability within a bucket is identical (every member connects
+    through the hub), so connected components — and therefore
+    dedup_clusters output — must EQUAL the clique-pair result, while
+    the edge count stays linear in bucket size."""
+    docs = synth.pages(spark, SF_TINY).select("doc_id", "text").limit(120)
+
+    clique = dedup.minhash_dup_pairs(docs)
+    star = dedup.minhash_star_pairs(docs)
+    n_clique, n_star = clique.count(), star.count()
+    assert n_star <= n_clique  # star never exceeds the clique
+
+    uf = _union_find([(r.a, r.b) for r in clique.collect()])
+    comp_star = {
+        r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs).collect()
+    }
+    for doc, root in uf.items():
+        assert comp_star[doc] == root  # same components, same min-id labels
+    # docs outside any candidate pair are their own singleton cluster
+    for doc, cid in comp_star.items():
+        if doc not in uf:
+            assert cid == doc
+
+
+def test_star_pairs_linear_on_giant_cluster(spark):
+    """A 60-copy duplicate cluster: the clique pair list is C(60,2) =
+    1770 pairs, the star list is 59 — the quadratic-vs-linear gap that
+    OOMs executors at web scale (100k-copy boilerplate buckets)."""
+    base = "identical boilerplate page body repeated verbatim " * 8
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(60)], "doc_id long, text string"
+    )
+    assert dedup.minhash_dup_pairs(docs).count() == 1770
+    assert dedup.minhash_star_pairs(docs).count() == 59
+    out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs).collect()}
+    assert set(out.values()) == {0}  # one cluster, labeled by the min id
