@@ -136,6 +136,56 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "d_line_dedup",
+    """
+    WITH d AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),
+    lines AS (
+      SELECT doc_id, p.line AS line, p.pos - 1 AS pos FROM (
+        SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+               (x, i) -> struct_pack(line := x, pos := i))) AS p
+        FROM d)
+    ),
+    keepers AS (
+      SELECT line, min(struct_pack(d := doc_id, p := pos)) AS k
+      FROM lines WHERE length(line) >= 10 GROUP BY line
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l LEFT JOIN keepers kk ON l.line = kk.line
+      WHERE kk.k IS NULL OR ((kk.k).d = l.doc_id AND (kk.k).p = l.pos)
+    ),
+    re AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+             - coalesce(re.n_kept, 0) AS n_removed
+    FROM d LEFT JOIN re USING (doc_id)
+    """,
+)
+def q_line_dedup(spark, sf_dir):
+    """C4-style exact line-level dedup (keep-first-occurrence across
+    the corpus, short lines exempt). The fixture corpus has no
+    newlines, so lines are formed by turning every ' the ' delimiter
+    into a newline — plain non-regex replace, identical left-to-right
+    non-overlapping semantics in both engines. Oracle replays the
+    keeper rule (min (doc_id, pos) struct per line) and the ordered
+    reassembly verbatim."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    out = dedup.line_dedup(d, min_chars=10)
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+@register(
     "d_lsh_jaccard_verify",
     f"""
     WITH sigs AS ({_sql_minhash_sig()}),

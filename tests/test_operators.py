@@ -627,3 +627,42 @@ def test_star_pairs_linear_on_giant_cluster(spark):
     assert dedup.minhash_star_pairs(docs).count() == 59
     out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs).collect()}
     assert set(out.values()) == {0}  # one cluster, labeled by the min id
+
+
+def test_line_dedup_c4_semantics(spark):
+    """Corpus-wide keep-first line dedup: the boilerplate line is kept
+    only at its first (doc_id, pos) occurrence; lines under min_chars
+    are exempt everywhere (including intra-doc repeats); a doc whose
+    every line is removed comes back as an empty string with the full
+    removal count."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncookie banner text\nunique one"),
+            (2, "cookie banner text\nunique two\nok"),
+            (3, "unique three\ncookie banner text"),
+            (4, ""),
+            (5, "ok\nok\nalpha beta"),
+            (6, "cookie banner text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, min_chars=3).collect()}
+    assert out[1].clean_text == "alpha beta\ncookie banner text\nunique one"
+    assert (out[1].n_lines, out[1].n_removed) == (3, 0)
+    assert out[2].clean_text == "unique two\nok"  # dup banner dropped
+    assert out[3].clean_text == "unique three"
+    assert out[4].clean_text == "" and out[4].n_removed == 0  # '' exempt (len 0 < 3)
+    assert out[5].clean_text == "ok\nok"  # short 'ok' exempt even repeated
+    assert out[5].n_removed == 1  # 'alpha beta' first seen in doc 1
+    assert out[6].clean_text == "" and out[6].n_removed == 1  # fully boilerplate
+
+
+def test_line_dedup_min_chars_zero_pure(spark):
+    """min_chars=0 is the pure rule: EVERY duplicate line (even empty
+    ones) collapses to its first occurrence."""
+    docs = spark.createDataFrame(
+        [(1, "x\n\ny"), (2, "x\n\nz")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(docs).collect()}
+    assert out[1].clean_text == "x\n\ny" and out[1].n_removed == 0
+    assert out[2].clean_text == "z" and out[2].n_removed == 2
