@@ -1075,6 +1075,220 @@ def q_host_stats(spark, sf_dir):
     return stats.join(dom, "host")
 
 
+def _pii_sql() -> str:
+    from hope_graph_builder_spark.operators import pii
+
+    return """
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com now ' ||
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                          || CAST(doc_id % 250 AS VARCHAR) || ' seen'
+               WHEN 1 THEN 'call +1 555 010 ' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+               ELSE 'plain tail' END AS text
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+             regexp_replace(text, '{email}', '{etok}', 'g') AS t1
+      FROM d
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             CAST(len(regexp_extract_all(t1, '{ip}')) AS BIGINT) AS n_ips,
+             regexp_replace(t1, '{ip}', '{itok}', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '{phone}', '{ptok}', 'g') AS clean_text,
+           n_emails, n_ips,
+           CAST(len(regexp_extract_all(t2, '{phone}')) AS BIGINT) AS n_phones
+    FROM s2
+    """.format(
+        email=pii.EMAIL_RE, ip=pii.IPV4_RE, phone=pii.PHONE_RE,
+        etok=pii.EMAIL_TOKEN, itok=pii.IP_TOKEN, ptok=pii.PHONE_TOKEN,
+    )
+
+
+@register("t_pii_scrub", _pii_sql())
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/pii): emails → IPv4 → phones, each
+    counted against the intermediate it was replaced in. The fixture
+    injects a deterministic email into every document and an IP /
+    phone by doc_id residue; the oracle replays the same three RE2/
+    Java-portable patterns with DuckDB's 'g' regexp_replace — the
+    scrubbed text and all three counts must match byte-for-byte."""
+    from hope_graph_builder_spark.operators import pii
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 40),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com now "),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("ip 10."), (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+                    F.lit(" seen"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit("call +1 555 010 "),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                ),
+            )
+            .otherwise(F.lit("plain tail")),
+        ).alias("text"),
+    )
+    out = pii.with_pii_scrubbed(d)
+    return out.select("doc_id", "clean_text", "n_emails", "n_ips", "n_phones")
+
+
+_URL_FIXTURE_SQL = """
+    SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'HTTP://Example.COM:80/a/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+      WHEN 1 THEN 'http://example.com/a/' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 2 THEN 'https://Example.com:443/b?q=' || CAST(doc_id % 30 AS VARCHAR)
+                  || '#frag' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://user@example.com/b?q=' || CAST(doc_id % 30 AS VARCHAR)
+      END AS url
+    FROM documents
+"""
+
+
+def _url_fixture(spark, sf_dir):
+    m = F.col("doc_id") % 4
+    n50 = (F.col("doc_id") % 50).cast("string")
+    n30 = (F.col("doc_id") % 30).cast("string")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("HTTP://Example.COM:80/a/"), n50, F.lit("/")))
+        .when(m == 1, F.concat(F.lit("http://example.com/a/"), n50))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://Example.com:443/b?q="), n30,
+                F.lit("#frag"), F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://user@example.com/b?q="), n30))
+        .alias("url"),
+    )
+
+
+@register(
+    "w_url_dedup",
+    f"""
+    WITH d AS ({_URL_FIXTURE_SQL}),
+    p1 AS (SELECT doc_id, split_part(url, '#', 1) AS u0 FROM d),
+    p2 AS (SELECT doc_id, u0,
+             strpos(u0, '://') > 0 AS hs,
+             lower(split_part(u0, '://', 1)) AS scheme,
+             substr(u0, strpos(u0, '://') + 3) AS rest
+           FROM p1),
+    p3 AS (SELECT *, split_part(rest, '/', 1) AS auth FROM p2),
+    p4 AS (SELECT *, substr(rest, length(auth) + 1) AS pathq,
+             list_extract(string_split(auth, '@'), -1) AS hostport FROM p3),
+    p5 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+             CASE WHEN strpos(hostport, ':') > 0
+                  THEN split_part(hostport, ':', 2) ELSE '' END AS port
+           FROM p4),
+    p6 AS (SELECT doc_id, u0, hs, scheme, host, pathq,
+             CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443'))
+                  THEN ':' || port ELSE '' END AS portpart,
+             CASE WHEN ends_with(pathq, '/') AND strpos(pathq, '?') = 0
+                  THEN substr(pathq, 1, length(pathq) - 1) ELSE pathq END AS path_c
+           FROM p5),
+    c AS (SELECT doc_id,
+            CASE WHEN hs THEN scheme || '://' || host || portpart || path_c
+                 ELSE u0 END AS canon_url
+          FROM p6),
+    g AS (SELECT canon_url, min(doc_id) AS keeper, count(*) AS n_dups
+          FROM c GROUP BY canon_url)
+    SELECT c.doc_id, c.canon_url, c.doc_id = g.keeper AS keep, g.n_dups
+    FROM c JOIN g USING (canon_url)
+    """,
+)
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup on the canonical form (operators/web): the
+    fixture spells the same logical pages four ways (uppercase scheme/
+    host + default port + trailing slash; plain; default https port +
+    fragment; userinfo) so cross-branch collisions only appear when
+    every canonicalization rule fires. Oracle replays the split-based
+    canonicalizer step-for-step, then the min-id keeper join."""
+    from hope_graph_builder_spark.operators import web
+
+    return web.url_dedup(_url_fixture(spark, sf_dir))
+
+
+@register(
+    "c_hash_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s0'), 1, 15)) AS BIGINT)
+            % 1000000
+          < CASE lang WHEN 'en' THEN 500000 WHEN 'fi' THEN 100000 ELSE 200000 END
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified hash sampling (operators/corpus):
+    keep-if-salted-hash-under-threshold, per-language rates with a
+    default fallback. The oracle replays the identical md5-derived
+    60-bit hash and thresholds — the sampled id set must match
+    exactly, which is the whole point of hash (vs rand()) sampling."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return corpus.hash_sample(
+        d, rate=0.2, salt="s0", by="lang", rates={"en": 0.5, "fi": 0.1}
+    )
+
+
+@register(
+    "c_pack_budget",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 101 AS DOUBLE) / CAST(100 AS DOUBLE) AS quality,
+             CAST(doc_id % 999 AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 80000
+    """,
+)
+def q_pack_budget(spark, sf_dir):
+    """Token-budget packing (operators/corpus): greedy quality-first
+    prefix under an 80k-token budget. The engine runs the two-phase
+    distributed prefix sum (value-bucketed, no global-order window);
+    the oracle is the naive single global cumulative window — the two
+    must agree row-for-row, cum_tokens included, which pins the
+    bucket decomposition as an EXACT re-expression of the global
+    order."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("doc_id") % 101).cast("double") / F.lit(100.0)).alias("quality"),
+        (F.col("doc_id") % 999).cast("long").alias("n_tokens"),
+    )
+    return corpus.pack_token_budget(d, 80000)
+
+
 def _sql_cos(a: str, b: str) -> str:
     return (
         f"{_SQL_VDOT.format(a=a, b=b)}"

@@ -1,0 +1,113 @@
+"""Corpus curation operators — the selection stages between a cleaned
+web corpus and a training run: reproducible subsampling and packing a
+token budget by quality.
+
+Both are deterministic by construction (hash-based sampling, total-
+order packing): re-running the pipeline on the same input yields the
+same corpus byte-for-byte, which is what makes training-data lineage
+auditable. No RNG state, no ``rand()`` (nondeterministic across
+retries and engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark.operators.dedup import hash60
+
+_DENOM = 1_000_000
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    rate: float = 0.1,
+    salt: str = "s0",
+    by: str | None = None,
+    rates: dict | None = None,
+) -> DataFrame:
+    """Deterministic ~``rate`` sample: keep rows whose salted 60-bit
+    key hash lands under ``rate`` of the hash space (million-slot
+    resolution). The production sampling idiom — unlike ``rand()`` it
+    is reproducible across runs/retries/engines, stable under
+    repartitioning, and consistent ACROSS TABLES (the same key samples
+    in or out everywhere, so sampled fact/dim tables still join).
+    ``salt`` decorrelates independent samples of the same corpus.
+
+    Stratified form: ``by`` + ``rates`` ({stratum: rate}) applies a
+    per-stratum rate (e.g. per-language quotas); strata absent from
+    ``rates`` fall back to ``rate``.
+
+    Scale: a pure map-stage filter (md5 + compare, codegen) — no
+    shuffle, no state; pushes through any downstream plan."""
+    h = F.pmod(
+        hash60(F.concat(F.col(key_col).cast("string"), F.lit("#" + salt))),
+        F.lit(_DENOM),
+    )
+    if by is not None and rates:
+        thr = None
+        for v, r in sorted(rates.items()):
+            cond = F.col(by) == F.lit(v)
+            t = F.lit(int(round(r * _DENOM)))
+            thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        thr = thr.otherwise(F.lit(int(round(rate * _DENOM))))
+    else:
+        thr = F.lit(int(round(rate * _DENOM)))
+    return df.filter(h < thr)
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Greedy quality-first packing: order documents by (quality desc,
+    id) and keep the longest prefix whose running token sum stays
+    within ``budget`` (a document that would cross the line — and
+    everything after it — is excluded; prefix semantics, not
+    knapsack). Output adds ``cum_tokens`` (the inclusive running sum
+    at each kept document).
+
+    The naive formulation is one global-order window — a single
+    partition pulling the whole corpus through one task. This one is
+    the classic two-phase distributed prefix sum, with DETERMINISTIC
+    value-based buckets instead of sampled range bounds (quality is
+    assumed in [0, 1]):
+
+    1. bucket = floor((1 - quality) · n_buckets), so bucket order IS
+       quality order (every doc in bucket i outranks every doc in
+       bucket i+1) with no quantile estimation and no RNG;
+    2. per-bucket token totals (one tiny groupBy) → exclusive prefix
+       offsets via a window over ≤ n_buckets ROWS (trivially small —
+       the only unpartitioned window, bounded by the bucket count,
+       never by the data);
+    3. within-bucket running sums partitioned by bucket (parallel
+       across buckets) + broadcast offset join = exact global
+       cumulative sum, integer arithmetic throughout."""
+    q = F.col(quality_col)
+    b = F.least(
+        F.floor((F.lit(1.0) - q) * F.lit(n_buckets)), F.lit(n_buckets - 1)
+    ).cast("int")
+    per = df.withColumn("_b", F.greatest(b, F.lit(0)))
+    totals = per.groupBy("_b").agg(F.sum(F.col(tokens_col).cast("long")).alias("_t"))
+    offs = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_t").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select("_b", "_off")
+    w = Window.partitionBy("_b").orderBy(q.desc(), F.col(id_col))
+    return (
+        per.withColumn("_c", F.sum(F.col(tokens_col).cast("long")).over(w))
+        .join(F.broadcast(offs), "_b")
+        .withColumn("cum_tokens", F.col("_c") + F.col("_off"))
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+        .drop("_b", "_c", "_off")
+    )

@@ -38,6 +38,81 @@ def registered_domain_expr(url: Column) -> Column:
     ).otherwise(host_expr(url))
 
 
+def url_canonical_expr(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the key for
+    URL-level dedup (the FIRST dedup stage of a CC-style pipeline:
+    the same page is crawled under many spellings long before content
+    hashes ever meet):
+
+    - fragment stripped (``#...`` never reaches the server),
+    - scheme and host lowercased, userinfo dropped,
+    - default port stripped (``:80`` for http, ``:443`` for https;
+      other ports kept),
+    - ONE trailing slash stripped from the path when there is no
+      query string (``/a/`` ≡ ``/a``, and ``host/`` ≡ ``host``).
+
+    Split/substring only (no regex, no locale), so oracles byte-agree.
+    Non-absolute inputs (no ``://``) pass through fragment-stripped
+    and otherwise untouched. IPv6 literals (colons inside the host)
+    are out of scope — documented, as is percent-encoding
+    normalization (a real pipeline adds a decode table in front; the
+    operator shape is identical)."""
+    u0 = F.substring_index(url, "#", 1)
+    has_scheme = F.instr(u0, "://") > 0
+    scheme = F.lower(F.substring_index(u0, "://", 1))
+    rest = F.substr(u0, F.instr(u0, "://") + F.lit(3))
+    auth = F.substring_index(rest, "/", 1)
+    pathq = F.substr(rest, F.length(auth) + F.lit(1))
+    hostport = F.element_at(F.split(auth, "@"), -1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(
+        F.instr(hostport, ":") > 0, F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when(
+        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path_c = F.when(
+        pathq.endswith("/") & ~pathq.contains("?"),
+        F.substr(pathq, F.lit(1), F.length(pathq) - F.lit(1)),
+    ).otherwise(pathq)
+    return F.when(
+        has_scheme,
+        F.concat(scheme, F.lit("://"), host, portpart, path_c),
+    ).otherwise(u0)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup on the canonical form: one row per input
+    document with ``(id, canon_url, keep, n_dups)`` — ``keep`` marks
+    the min-id document per canonical URL, ``n_dups`` the group size.
+    ``df.filter("keep")`` is the dedup.
+
+    100 TB shape: one groupBy(canon_url) whose min/count aggregates
+    partially combine map-side (a URL crawled 10⁶ times collapses per
+    input partition before the exchange), then one equi-join attach —
+    the same skew-proof two-step as line_dedup, no window over the
+    hot key."""
+    canon = url_canonical_expr(F.col(url_col))
+    keyed = df.select(F.col(id_col), canon.alias("canon_url"))
+    groups = keyed.groupBy("canon_url").agg(
+        F.min(id_col).alias("_keeper"), F.count("*").alias("n_dups")
+    )
+    return (
+        keyed.join(groups, "canon_url")
+        .select(
+            id_col,
+            "canon_url",
+            (F.col(id_col) == F.col("_keeper")).alias("keep"),
+            "n_dups",
+        )
+    )
+
+
 def host_stats(
     docs: DataFrame,
     url: str = "url",

@@ -666,3 +666,112 @@ def test_line_dedup_min_chars_zero_pure(spark):
     out = {r.doc_id: r for r in dedup.line_dedup(docs).collect()}
     assert out[1].clean_text == "x\n\ny" and out[1].n_removed == 0
     assert out[2].clean_text == "z" and out[2].n_removed == 2
+
+
+def test_pii_scrub(spark):
+    """Email → IPv4 → phone redaction with per-stage counts; the
+    dotted-quad prefix false positive ('1.2.3.4' out of '1.2.3.4.5')
+    is pinned deliberately — identical in both regex engines."""
+    from hope_graph_builder_spark.operators import pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@x-corp.io. thanks"),
+            (2, "server 10.0.0.1 and backup 192.168.255.254"),
+            (3, "call +49 30 901820 or +1 555 010 4321"),
+            (4, "no pii here"),
+            (5, "version 1.2.3.4.5 tagged"),
+            (6, "u@example.org logs 8.8.8.8 tel 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii.with_pii_scrubbed(docs).collect()}
+    assert out[1].clean_text == "mail me at <EMAIL>. thanks"
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+    assert out[2].clean_text == "server <IP> and backup <IP>"
+    assert out[2].n_ips == 2
+    assert out[3].clean_text == "call <PHONE> or <PHONE>"
+    assert out[3].n_phones == 2
+    assert out[4].clean_text == "no pii here"
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+    assert out[5].clean_text == "version <IP>.5 tagged"  # documented FP shape
+    assert out[6].clean_text == "<EMAIL> logs <IP> tel <PHONE>"
+    assert (out[6].n_emails, out[6].n_ips, out[6].n_phones) == (1, 1, 1)
+
+
+def test_url_canonical_and_dedup(spark):
+    """Every canonicalization rule fires somewhere: scheme+host case,
+    userinfo, default vs explicit port, fragment, trailing slash,
+    non-http scheme passthrough, relative input."""
+    from hope_graph_builder_spark.operators import web
+
+    cases = [
+        (0, "HTTP://Example.COM:80/a/5/", "http://example.com/a/5"),
+        (1, "http://example.com/a/5", "http://example.com/a/5"),
+        (2, "https://Example.com:443/b?q=7#frag9", "https://example.com/b?q=7"),
+        (3, "https://user@example.com/b?q=7", "https://example.com/b?q=7"),
+        (4, "http://example.com:8080/x/", "http://example.com:8080/x"),
+        (5, "ftp://Host.Example/Path", "ftp://host.example/Path"),
+        (6, "/relative/path#x", "/relative/path"),
+        (7, "https://example.com/", "https://example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", web.url_canonical_expr(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    dd = {r.doc_id: r for r in web.url_dedup(df).collect()}
+    assert dd[0].keep and not dd[1].keep  # 0 and 1 collide, min id wins
+    assert dd[0].n_dups == 2 and dd[1].n_dups == 2
+    assert dd[2].keep and not dd[3].keep
+    assert all(dd[i].keep for i in (4, 5, 6, 7))  # singletons
+
+
+def test_hash_sample_deterministic_and_consistent(spark):
+    """Hash sampling: rerun-identical, roughly rate-sized, and
+    CONSISTENT across tables — the same key samples in or out
+    everywhere, so sampled tables still join."""
+    from hope_graph_builder_spark.operators import corpus
+
+    a = synth.pages(spark, SF_TINY).select("doc_id", "lang")
+    s1 = {r.doc_id for r in corpus.hash_sample(a, rate=0.3).collect()}
+    s2 = {r.doc_id for r in corpus.hash_sample(a, rate=0.3).collect()}
+    assert s1 == s2  # deterministic
+    n = a.count()
+    assert 0.15 * n < len(s1) < 0.45 * n  # ~rate, generous band
+    other = a.select("doc_id")  # a second "table" with the same key
+    s3 = {r.doc_id for r in corpus.hash_sample(other, rate=0.3).collect()}
+    assert s1 == s3  # cross-table consistency
+    s4 = {r.doc_id for r in corpus.hash_sample(a, rate=0.3, salt="z9").collect()}
+    assert s1 != s4  # salt decorrelates
+
+
+def test_pack_token_budget_equals_global_prefix(spark):
+    """The two-phase bucketed prefix sum must reproduce the naive
+    global-order greedy prefix exactly, cum_tokens included."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = spark.createDataFrame(
+        [(i, (i * 37 % 101) / 100.0, i * 13 % 97 + 1) for i in range(300)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    budget = 4000
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in corpus.pack_token_budget(d, budget).collect()
+    }
+    rows = sorted(d.collect(), key=lambda r: (-r.quality, r.doc_id))
+    cum, want = 0, {}
+    for r in rows:
+        cum += r.n_tokens
+        if cum > budget:
+            break
+        want[r.doc_id] = cum
+    assert got == want

@@ -195,3 +195,24 @@ def test_tile_pyramid_single_raw_scan(spark):
         lvl = out.filter(F.col("res") == r).select("cell", "n", "sum_v")
         assert lvl.exceptAll(direct).count() == 0
         assert direct.exceptAll(lvl).count() == 0
+
+
+def test_pack_budget_no_global_data_window(spark):
+    """pack_token_budget's running sum must be partitioned by the
+    quality bucket — the only unpartitioned window may range over the
+    per-bucket totals (≤ n_buckets rows), never over the data. A
+    global-order data window would funnel the corpus through one
+    task."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 101).cast("double") / F.lit(100.0)).alias("quality"),
+        (F.col("id") % 97 + 1).cast("long").alias("n_tokens"),
+    )
+    plan = _plan(corpus.pack_token_budget(d, 10_000))
+    # the per-row window carries the bucket in its partition spec
+    assert "partitionspec=[_b" in plan.replace(" ", "").lower() or "_b#" in plan
+    # offsets attach via broadcast, and nothing degenerates to a loop join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

