@@ -1289,6 +1289,224 @@ def q_pack_budget(spark, sf_dir):
     return corpus.pack_token_budget(d, 80000)
 
 
+@register(
+    "c_contamination",
+    f"""
+    WITH bg AS (
+      SELECT DISTINCT unnest({_sql_ngrams(8)}) AS g
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    dg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(list_distinct({_sql_ngrams(8)})) = 0
+                    THEN [CAST(NULL AS VARCHAR)]
+                    ELSE list_distinct({_sql_ngrams(8)}) END) AS g
+      FROM documents
+    ),
+    j AS (
+      SELECT d.doc_id, d.g, b.g AS hit
+      FROM dg d LEFT JOIN bg b ON d.g = b.g
+    )
+    SELECT doc_id, CAST(count(g) AS BIGINT) AS n_grams,
+           CAST(count(hit) AS BIGINT) AS n_hits,
+           count(hit) > 0 AS contaminated
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/corpus): every 25th
+    document plays the evaluation benchmark; those documents must come
+    back fully contaminated (self-overlap) and everything else only
+    via genuine 8-gram collisions. The oracle replays the distinct-
+    gram explode (with the empty-array → NULL row that keeps short
+    docs), the gram join, and both counts."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select("text")
+    return corpus.ngram_contamination(d, bench, n=8)
+
+
+@register(
+    "c_shard_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sh0'), 1, 15))
+                  AS BIGINT) AS _h
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(_h % 16 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY _h % 16 ORDER BY _h, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_shard_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding (operators/corpus
+    .shard_shuffle): shard = salted 60-bit hash mod 16, pos = rank by
+    (hash, id) within the shard. The oracle replays the permutation
+    exactly — every row's (shard, pos) must match, which is the
+    reproducible-training-order guarantee the operator exists for."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return corpus.shard_shuffle(d, n_shards=16, salt="sh0")
+
+
+@register(
+    "w_host_boilerplate",
+    """
+    WITH d AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'cookie-banner h' || CAST(doc_id % 37 AS VARCHAR)
+                       || ' accept-cookies-now' || chr(10) ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN 'promo h' || CAST(doc_id % 37 AS VARCHAR)
+                       || ' subscribe-today' || chr(10) ELSE '' END
+             || replace(text, ' the ', chr(10)) AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, host, p.line AS line, p.pos - 1 AS pos FROM (
+        SELECT doc_id, host, unnest(list_transform(string_split(text, chr(10)),
+               (x, i) -> struct_pack(line := x, pos := i))) AS p
+        FROM d)
+    ),
+    hp AS (SELECT host, count(*) AS n_pages FROM d GROUP BY 1),
+    pp AS (
+      SELECT DISTINCT host, line, doc_id FROM lines WHERE length(line) >= 10
+    ),
+    boiler AS (
+      SELECT p.host, p.line
+      FROM (SELECT host, line, count(*) AS df_pages FROM pp GROUP BY 1, 2) p
+      JOIN hp USING (host)
+      WHERE n_pages >= 2 AND df_pages * 1000000 >= 400000 * n_pages
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line
+      WHERE b.line IS NULL
+    ),
+    re AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+             - coalesce(re.n_kept, 0) AS n_removed
+    FROM d LEFT JOIN re USING (doc_id)
+    """,
+)
+def q_host_boilerplate(spark, sf_dir):
+    """Per-host boilerplate strip (operators/web.host_boilerplate_strip):
+    the fixture plants a cookie banner on ~half of every host's pages
+    (above the 0.4 ratio gate → stripped from ALL its occurrences) and
+    a promo line on ~20% (below the gate → kept), on top of natural
+    ' the '-delimited lines that never clear the gate. The oracle
+    replays page-presence counts, the integer-exact ppm ratio test,
+    the every-occurrence strip and the ordered reassembly."""
+    from hope_graph_builder_spark.operators import web
+
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("cookie-banner "), host, F.lit(" accept-cookies-now\n")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("promo "), host, F.lit(" subscribe-today\n")),
+            ).otherwise(F.lit("")),
+            F.replace(F.col("text"), F.lit(" the "), F.lit("\n")),
+        ).alias("text"),
+    )
+    out = web.host_boilerplate_strip(d, min_ratio=0.4, min_pages=2, min_chars=10)
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+@register(
+    "t_charlm_score",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+    tr AS (
+      SELECT doc_id, unnest(CASE WHEN length(s) >= 3
+        THEN list_transform(range(1, length(s) - 1), i -> substr(s, CAST(i AS INT), 3))
+        ELSE [CAST(NULL AS VARCHAR)] END) AS tri
+      FROM d
+    ),
+    ctri AS (
+      SELECT tri, count(*) AS c FROM tr
+      WHERE doc_id % 10 = 0 AND tri IS NOT NULL GROUP BY 1
+    ),
+    cbi AS (
+      SELECT substr(tri, 1, 2) AS bi, CAST(sum(c) AS BIGINT) AS cb
+      FROM ctri GROUP BY 1
+    ),
+    vv AS (
+      SELECT count(DISTINCT ch) AS v FROM (
+        SELECT unnest([substr(tri,1,1), substr(tri,2,1), substr(tri,3,1)]) AS ch
+        FROM ctri
+      )
+    ),
+    tlm AS (
+      SELECT tri, CAST(round_even(ln((c + 1) / (cb + v)), 5) AS DECIMAL(16,5)) AS lp_q
+      FROM ctri JOIN cbi ON substr(ctri.tri, 1, 2) = cbi.bi CROSS JOIN vv
+    ),
+    blm AS (
+      SELECT bi, CAST(round_even(ln(1.0 / (cb + v)), 5) AS DECIMAL(16,5)) AS lp0_q
+      FROM cbi CROSS JOIN vv
+    ),
+    vfloor AS (
+      SELECT CAST(round_even(ln(1.0 / v), 5) AS DECIMAL(16,5)) AS lnv_q FROM vv
+    ),
+    j AS (
+      SELECT t.doc_id, t.tri,
+             CASE WHEN t.tri IS NULL THEN NULL
+                  ELSE coalesce(tlm.lp_q, blm.lp0_q, vfloor.lnv_q) END AS lp
+      FROM tr t
+      LEFT JOIN tlm ON tlm.tri = t.tri
+      LEFT JOIN blm ON blm.bi = substr(t.tri, 1, 2)
+      CROSS JOIN vfloor
+    )
+    SELECT doc_id, CAST(count(tri) AS BIGINT) AS n_tri,
+           CAST(sum(lp) AS DOUBLE) AS sum_lp_d,
+           CASE WHEN count(tri) > 0
+                THEN round_even(-CAST(sum(lp) AS DOUBLE) / count(tri), 5) END AS avg_nll
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_charlm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/text.train_char_lm +
+    char_lm_score): every 10th document plays the clean reference
+    corpus; every document is scored by mean negative log-likelihood
+    under the smoothed conditional trigram model. The oracle replays
+    training (trigram counts, prefix-bigram totals, the V-char
+    alphabet, 5-dp-quantized log-probs) AND scoring (the three-level
+    backoff, order-free decimal sum, final division) — model contents
+    and every doc's trajectory must match, not just the ranking."""
+    from hope_graph_builder_spark.operators import text as t
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    lm = t.train_char_lm(docs.filter(F.col("doc_id") % 10 == 0))
+    return t.char_lm_score(docs, lm).select(
+        "doc_id",
+        "n_tri",
+        F.col("sum_lp").cast("double").alias("sum_lp_d"),
+        "avg_nll",
+    )
+
+
 def _sql_cos(a: str, b: str) -> str:
     return (
         f"{_SQL_VDOT.format(a=a, b=b)}"

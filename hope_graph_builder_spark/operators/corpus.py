@@ -57,6 +57,60 @@ def hash_sample(
     return df.filter(h < thr)
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct word ``n``-grams appear anywhere in the evaluation
+    benchmark texts (the GPT-3-family rule — documents sharing a
+    13-gram with a benchmark are dropped or audited before training;
+    publish ``n_hits``/``n_grams`` rather than baking in a threshold
+    so the caller picks drop-any vs fraction policies). One row per
+    input document: ``(id, n_grams, n_hits, contaminated)`` with
+    ``contaminated`` = any overlap, ``n_grams`` = 0 for documents
+    shorter than ``n`` tokens (never flagged).
+
+    Scale shape: the benchmark side is tiny by nature (eval suites,
+    not corpora) — its distinct-gram table BROADCASTS, so the doc side
+    is one explode → broadcast left join → groupBy(id) with map-side
+    combine: a single doc-keyed exchange, no shuffle of the gram
+    table. Drop the broadcast hint if the "benchmark" is itself a
+    corpus (AQE picks the shuffle join)."""
+    from hope_graph_builder_spark.operators.text import _lower_tokens, _word_ngrams
+
+    dg = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(_word_ngrams(_lower_tokens(F.col(text_col)), n))
+        ).alias("g"),
+    )
+    bg = (
+        bench.select(
+            F.explode(
+                F.array_distinct(
+                    _word_ngrams(_lower_tokens(F.col(bench_text_col)), n)
+                )
+            ).alias("g")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        dg.join(F.broadcast(bg), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("g")).alias("n_grams"),
+            F.count(F.col("_hit")).alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
 def pack_token_budget(
     df: DataFrame,
     budget: int,
@@ -110,4 +164,38 @@ def pack_token_budget(
         .withColumn("cum_tokens", F.col("_c") + F.col("_off"))
         .filter(F.col("cum_tokens") <= F.lit(int(budget)))
         .drop("_b", "_c", "_off")
+    )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    salt: str = "sh0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the last stage before
+    a training run: every row gets ``(shard, pos)`` where ``shard`` is
+    the salted 60-bit key hash mod ``n_shards`` and ``pos`` is the
+    row's rank within its shard ordered by (hash, id). Reading shards
+    in order yields a reproducible pseudo-random permutation of the
+    corpus — same bytes on every rerun/retry/engine (no ``rand()``,
+    no ``shuffle()``), re-shuffleable by changing ``salt``, and
+    near-uniform shard sizes regardless of input order or skew.
+
+    Scale shape: the hash is a map stage; the only exchange is the
+    hash-partition by ``shard`` that the window requires — which is
+    exactly the physical layout a sharded writer needs anyway
+    (``.repartition("shard")`` + ``sortWithinPartitions`` falls out of
+    the same plan), so position assignment is free relative to the
+    write. Each shard sorts independently — no global total order, no
+    single-partition window."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = hash60(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_h")
     )

@@ -357,3 +357,125 @@ def lang_id_ngram(docs: DataFrame, profiles: DataFrame,
         F.col("predicted"),
         (F.col("predicted") == F.col("lang")).alias("is_correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram language model quality scoring (the CCNet shape:
+# score every document by cross-entropy under an LM trained on a clean
+# reference corpus, keep the low-perplexity tail). The reference
+# pipeline family uses a KenLM 5-gram; this is a from-scratch
+# conditional character-trigram model with add-one smoothing — same
+# scoring contract (mean negative log-likelihood per predicted char),
+# pure DataFrame ops, exact DuckDB twin.
+# ---------------------------------------------------------------------------
+
+
+def train_char_lm(train_docs: "DataFrame", text_col: str = "text"):
+    """Train the conditional trigram model P(c3 | c1c2) with add-one
+    smoothing over a clean reference corpus. Returns a dict of three
+    small DataFrames (the model artifact — every piece broadcastable):
+
+    - ``tri``: (tri, lp_q) — lp = ln((c_tri + 1) / (c_bi + V)) for every
+      trigram SEEN in training, quantized to 5 dp DECIMAL at train time
+      so downstream sums are order-independent and engine-exact.
+    - ``bi``:  (bi, lp0_q) — the unseen-trigram/seen-context floor
+      ln(1 / (c_bi + V)) per seen prefix bigram.
+    - ``v``:   one row (v, lnv_q) — vocabulary size V (distinct chars
+      appearing in any training trigram) and the unseen-context floor
+      ln(1 / V).
+
+    ``c_bi`` counts the bigram as a TRIGRAM PREFIX (not all bigram
+    occurrences), so the smoothed conditionals normalize exactly:
+    sum_c (c(bi,c)+1)/(c_bi+V) = 1 when summed over the V-char
+    alphabet. Model size is bounded by the charset cubed regardless of
+    corpus size — at 100 TB the model is still a broadcast table; only
+    the two training counts scan the corpus (one explode + two
+    groupBys with map-side combine)."""
+    tri = with_char_trigrams(train_docs, text_col).select(
+        F.explode("_tri").alias("tri")
+    )
+    ctri = tri.groupBy("tri").agg(F.count("*").alias("c"))
+    cbi = (
+        ctri.groupBy(F.substring("tri", 1, 2).alias("bi"))
+        .agg(F.sum("c").alias("cb"))
+    )
+    chars = (
+        ctri.select("tri")
+        .select(
+            F.explode(
+                F.array(
+                    F.substring("tri", 1, 1),
+                    F.substring("tri", 2, 1),
+                    F.substring("tri", 3, 1),
+                )
+            ).alias("ch")
+        )
+        .agg(F.countDistinct("ch").alias("v"))
+        .withColumn("lnv_q", F.bround(F.log(1.0 / F.col("v")), 5).cast("decimal(16,5)"))
+    )
+    tri_lm = (
+        ctri.withColumn("bi", F.substring("tri", 1, 2))
+        .join(cbi, "bi")
+        .crossJoin(F.broadcast(chars.select("v")))
+        .select(
+            "tri",
+            F.bround(F.log((F.col("c") + 1) / (F.col("cb") + F.col("v"))), 5)
+            .cast("decimal(16,5)")
+            .alias("lp_q"),
+        )
+    )
+    bi_lm = cbi.crossJoin(F.broadcast(chars.select("v"))).select(
+        "bi",
+        F.bround(F.log(1.0 / (F.col("cb") + F.col("v"))), 5)
+        .cast("decimal(16,5)")
+        .alias("lp0_q"),
+    )
+    return {"tri": tri_lm, "bi": bi_lm, "v": chars.select("v", "lnv_q")}
+
+
+def char_lm_score(docs: "DataFrame", lm: dict, text_col: str = "text",
+                  id_col: str = "doc_id") -> "DataFrame":
+    """Score every document under a train_char_lm model: one row per
+    input document with ``n_tri`` (predicted chars), ``sum_lp``
+    (exact DECIMAL sum of quantized log-probs — order-independent) and
+    ``avg_nll`` (mean negative log-likelihood in nats, 5 dp — the
+    CCNet-style quality signal: LOW = fluent under the reference LM,
+    HIGH = junk). Documents shorter than 3 chars score NULL.
+
+    Per-trigram log-prob backoff: seen trigram → lp_q; unseen trigram
+    with seen prefix → the bigram floor lp0_q; unseen prefix → the
+    uniform floor ln(1/V). Plan shape: one trigram explode, two
+    broadcast left joins (the model is charset-bounded), one
+    doc-keyed exchange for the groupBy — linear at any corpus size."""
+    dtri = with_char_trigrams(docs, text_col).select(
+        id_col, F.explode_outer("_tri").alias("tri")
+    )
+    scored = (
+        dtri.join(F.broadcast(lm["tri"]), "tri", "left")
+        .withColumn("bi", F.substring("tri", 1, 2))
+        .join(F.broadcast(lm["bi"]), "bi", "left")
+        .crossJoin(F.broadcast(lm["v"]))
+        .withColumn(
+            "_lp",
+            F.when(
+                F.col("tri").isNotNull(),
+                F.coalesce("lp_q", "lp0_q", "lnv_q"),
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("tri").alias("n_tri"),
+            F.sum("_lp").alias("sum_lp"),
+        )
+        .select(
+            id_col,
+            "n_tri",
+            "sum_lp",
+            F.when(
+                F.col("n_tri") > 0,
+                F.bround(-(F.col("sum_lp").cast("double")) / F.col("n_tri"), 5),
+            ).alias("avg_nll"),
+        )
+    )

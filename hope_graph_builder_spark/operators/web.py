@@ -139,3 +139,86 @@ def host_stats(
             ).alias("mean_quality"),
         )
     )
+
+
+def host_boilerplate_strip(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_ratio: float = 0.5,
+    min_pages: int = 2,
+    min_chars: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-HOST boilerplate removal — the within-site complement of
+    corpus-wide line dedup: a line is boilerplate for a host when it
+    appears on at least ``min_ratio`` of that host's pages (and the
+    host has at least ``min_pages`` pages to make the ratio evidence
+    rather than noise). Nav bars, cookie banners and footers repeat on
+    most of a site's pages; genuine content does not — so unlike
+    keep-first line dedup, EVERY occurrence is dropped (the site's nav
+    bar is not content on any page). Lines shorter than ``min_chars``
+    are exempt (blank lines are structure, not boilerplate evidence).
+
+    Returns one row per input page: ``(id, clean_text, n_lines,
+    n_removed)``, kept lines re-joined by ``sep`` in original order.
+
+    The ratio test is integer-exact: ``df_pages·10⁶ ≥ ratio_ppm·
+    n_pages`` — no float division, so the decision is identical in any
+    engine. 100 TB shape: page-presence counts come from a distinct on
+    (host, line, id) then groupBy(host, line) — both partially
+    aggregate map-side, and the per-host page totals are one tiny
+    groupBy(host) that broadcasts back; the strip itself is one
+    equi-join on (host, line) (AQE skew-split absorbs mega-hosts) and
+    reassembly one groupBy(id), exactly the line_dedup plan."""
+    ratio_ppm = int(round(min_ratio * 1_000_000))
+    lines = df.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    host_pages = df.groupBy(host_col).agg(F.count("*").alias("n_pages"))
+    page_presence = (
+        lines.filter(F.length("line") >= F.lit(min_chars))
+        .select(host_col, "line", id_col)
+        .distinct()
+    )
+    boiler = (
+        page_presence.groupBy(host_col, "line")
+        .agg(F.count("*").alias("df_pages"))
+        .join(host_pages, host_col)
+        .filter(
+            (F.col("n_pages") >= F.lit(min_pages))
+            & (F.col("df_pages") * F.lit(1_000_000) >= F.lit(ratio_ppm) * F.col("n_pages"))
+        )
+        .select(host_col, "line", F.lit(True).alias("_boiler"))
+    )
+    kept = (
+        lines.join(boiler, [host_col, "line"], "left")
+        .filter(F.col("_boiler").isNull())
+        .select(id_col, "pos", "line")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), sep, -1)).alias("n_lines"),
+        )
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
+        )
+    )

@@ -775,3 +775,109 @@ def test_pack_token_budget_equals_global_prefix(spark):
             break
         want[r.doc_id] = cum
     assert got == want
+
+
+def test_ngram_contamination(spark):
+    """Docs sharing an n-gram with the benchmark are flagged; short
+    docs (< n tokens) report zero grams and are never flagged."""
+    from hope_graph_builder_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different words in this training document here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("eval: the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    out = {r.doc_id: r for r in corpus.ngram_contamination(docs, bench, n=5).collect()}
+    assert out[1].contaminated and out[1].n_hits >= 1
+    assert out[2].contaminated  # shares 'fox jumps over the lazy' etc.
+    assert not out[3].contaminated and out[3].n_hits == 0
+    assert out[4].n_grams == 0 and not out[4].contaminated
+    assert out[3].n_grams == 4  # 8 tokens -> four distinct 5-grams
+
+
+def test_char_lm_score_backoff(spark):
+    """Hand-computed smoothed trigram LM on a 2-char alphabet: seen
+    trigram, seen-prefix backoff, unseen-prefix floor, and the <3-char
+    NULL row all hit their closed-form values."""
+    import math
+
+    from hope_graph_builder_spark.operators import text as t
+
+    train = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+    # trigrams: aba, bab (1 each); prefixes ab,ba (1 each); V={a,b}=2
+    lm = t.train_char_lm(train)
+    docs = spark.createDataFrame(
+        [
+            (1, "ababa"),  # aba,bab,aba all seen: lp=ln(2/3) each
+            (2, "abb"),    # unseen tri, seen prefix 'ab': ln(1/3)
+            (3, "xyz"),    # unseen prefix: ln(1/2)
+            (4, "ab"),     # too short
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in t.char_lm_score(docs, lm).collect()}
+    assert out[1].n_tri == 3
+    assert abs(float(out[1].avg_nll) - round(-math.log(2 / 3), 5)) < 1e-9
+    assert abs(float(out[2].avg_nll) - round(-math.log(1 / 3), 5)) < 1e-9
+    assert abs(float(out[3].avg_nll) - round(-math.log(1 / 2), 5)) < 1e-9
+    assert out[4].n_tri == 0 and out[4].avg_nll is None and out[4].sum_lp is None
+
+
+def test_host_boilerplate_strip(spark):
+    """Banner on 2/3 of host A's pages is stripped EVERYWHERE (unlike
+    keep-first line dedup); a one-page host is exempt via min_pages;
+    short repeated lines are exempt via min_chars; order preserved."""
+    from hope_graph_builder_spark.operators import web
+
+    banner = "accept our cookies please"
+    docs = spark.createDataFrame(
+        [
+            (1, "a.com", f"{banner}\nreal content one\nok"),
+            (2, "a.com", f"{banner}\nreal content two"),
+            (3, "a.com", "no banner here today"),
+            (4, "b.com", f"{banner}\nlonely page content"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in web.host_boilerplate_strip(
+            docs, min_ratio=0.5, min_pages=2, min_chars=5
+        ).collect()
+    }
+    assert out[1].clean_text == "real content one\nok" and out[1].n_removed == 1
+    assert out[2].clean_text == "real content two" and out[2].n_removed == 1
+    assert out[3].clean_text == "no banner here today" and out[3].n_removed == 0
+    # host b has one page: min_pages gate keeps its banner
+    assert out[4].clean_text.startswith(banner) and out[4].n_removed == 0
+    # 'ok' is short (< min_chars): exempt from evidence AND never stripped
+    assert out[1].n_lines == 3
+
+
+def test_shard_shuffle_deterministic(spark):
+    """Same input → identical (shard, pos) across runs; positions are
+    dense 0..k-1 per shard; changing the salt changes the permutation;
+    union of shards is the input."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = corpus.shard_shuffle(d, 8).collect()
+    b = corpus.shard_shuffle(d, 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 200
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    c = {r.doc_id: (r.shard, r.pos) for r in corpus.shard_shuffle(d, 8, salt="other").collect()}
+    amap = {r.doc_id: (r.shard, r.pos) for r in a}
+    assert any(amap[i] != c[i] for i in amap)
