@@ -1328,6 +1328,96 @@ def q_contamination(spark, sf_dir):
 
 
 @register(
+    "d_dup_substrings",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'standard license header text do not remove this notice. '
+                  ELSE '' END || text AS s
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, (p.pos) AS pos, p.h FROM (
+        SELECT doc_id, unnest(list_transform(
+          CASE WHEN length(s) >= 30 THEN range(1, length(s) - 28) ELSE [] END,
+          i -> struct_pack(
+            pos := CAST(i AS INT),
+            h := CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 30)), 1, 15))
+                      AS BIGINT)))) AS p
+        FROM d)
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+    flagged AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lag_pos
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN pos > lag_pos + 30 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS i
+      FROM lagged
+    ),
+    spans AS (
+      SELECT doc_id, i, max(pos) - min(pos) + 30 AS span_chars
+      FROM isl GROUP BY 1, 2
+    ),
+    per_span AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(span_chars) AS BIGINT) AS dup_chars
+      FROM spans GROUP BY 1
+    ),
+    per_win AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wins GROUP BY 1
+    ),
+    per_dup AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+      FROM flagged GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(per_win.n_windows, 0) AS n_windows,
+           coalesce(per_dup.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(per_span.n_spans, 0) AS n_spans,
+           coalesce(per_span.dup_chars, 0) AS dup_chars
+    FROM d
+    LEFT JOIN per_win USING (doc_id)
+    LEFT JOIN per_dup USING (doc_id)
+    LEFT JOIN per_span USING (doc_id)
+    """,
+)
+def q_dup_substrings(spark, sf_dir):
+    """Exact-substring duplication audit (operators/dedup
+    .dup_substring_spans, the ExactSubstr family): every 7th document
+    carries a planted 57-char license header, so its 30-char windows
+    repeat corpus-wide and must merge into one leading span; natural
+    cross-doc 30-char collisions (if any) are replayed identically.
+    The oracle recomputes every window hash, the >1 corpus count, the
+    flagged positions and the lag/cumsum island merge."""
+    from hope_graph_builder_spark.operators import dedup as dd
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("standard license header text do not remove this notice. "),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = dd.dup_substring_spans(d, k=30, stride=1)
+    return out.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("dup_chars").cast("long").alias("dup_chars"),
+    )
+
+
+@register(
     "c_shard_shuffle",
     """
     WITH h AS (

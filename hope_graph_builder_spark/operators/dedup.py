@@ -229,6 +229,7 @@ def line_dedup(
     id_col: str = "doc_id",
     min_chars: int = 0,
     sep: str = "\n",
+    key_method: str = "raw",
 ) -> DataFrame:
     """C4-style exact LINE-level dedup across the whole corpus: every
     line (``sep``-delimited span) that occurs more than once anywhere
@@ -254,21 +255,34 @@ def line_dedup(
     attach is a plain equi-join on the line (AQE skew-split handles
     the residual join skew), and reassembly is one groupBy(id) with
     array_sort(collect_list(struct(pos, line))) — no window, no
-    driver round-trip."""
+    driver round-trip.
+
+    ``key_method='xx'`` groups and joins on ``xxhash64(line)`` instead
+    of the raw line — the keeper exchange and join carry 8 bytes per
+    key instead of the full line text (the dominant shuffle payload on
+    real pages). Semantics identical up to 64-bit hash collisions (a
+    colliding pair would dedup two DIFFERENT lines; at 10¹⁰ distinct
+    lines the expected collision count is ~3 — the standard production
+    trade, same convention as the MinHash 'xx' mode). 'raw' stays the
+    default and is what the DuckDB oracle replays."""
+    if key_method not in ("raw", "xx"):
+        raise ValueError(f"unknown key_method {key_method!r} (use 'raw' or 'xx')")
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
     )
+    key = F.xxhash64("line") if key_method == "xx" else F.col("line")
+    keyed = lines.select(id_col, "pos", "line", key.alias("_lk"))
     dedupable = F.length(F.col("line")) >= F.lit(min_chars)
     keepers = (
-        lines.filter(dedupable)
-        .groupBy("line")
+        keyed.filter(dedupable)
+        .groupBy("_lk")
         .agg(
             F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("k"),
         )
     )
     kept = (
-        lines.join(keepers, "line", "left")
+        keyed.join(keepers, "_lk", "left")
         .filter(
             F.col("k").isNull()  # exempt short line: never in keepers
             | ((F.col("k.d") == F.col(id_col)) & (F.col("k.p") == F.col("pos")))
@@ -489,3 +503,97 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return j.select("a", "b", "jaccard")
+
+
+def dup_substring_spans(
+    df: DataFrame,
+    k: int = 40,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_method: str = "md5",
+) -> DataFrame:
+    """EXACT-substring duplication audit (the ExactSubstr family from
+    the deduplicating-training-data line of work): every ``k``-char
+    window of every document is hashed; a window whose content occurs
+    MORE THAN ONCE anywhere in the corpus is duplicated text — the
+    licence block, quoted boilerplate or copy-pasted passage that
+    doc-level MinHash never sees because the surrounding documents are
+    genuinely different. Overlapping/adjacent duplicated windows merge
+    into maximal spans.
+
+    One row per input document: ``(id, n_windows, n_dup_windows,
+    n_spans, dup_chars)`` — ``dup_chars`` is the total length of the
+    merged duplicated spans, so ``dup_chars / length`` is the
+    duplication fraction a curation pass gates on. Documents shorter
+    than ``k`` have 0 windows and are never flagged.
+
+    ``stride`` > 1 samples every stride-th window: detection of any
+    duplicated run of length ≥ k + stride - 1 is still guaranteed
+    (some window inside the run aligns with the sample grid), at
+    1/stride the explode cost — the scale knob; stride=1 is the exact
+    audit the oracle replays. ``hash_method`` follows the MinHash
+    convention: 'md5' = engine-portable oracle mode, 'xx' = native
+    xxhash64 at ~10× less CPU (identical spans up to 64-bit hash
+    collisions; production mode, pytest-equivalence-verified).
+
+    100 TB shape: this operator's cost is inherent to exact-substring
+    dedup — one row per sampled position. All heavy stages partially
+    aggregate map-side: window hashes → groupBy(hash) count (a window
+    repeated 10⁸ times collapses per input partition before the
+    shuffle), flagged hashes re-attach by equi-join, and span merging
+    is a per-document window (lag → island cumsum → two groupBys) that
+    shuffles only the FLAGGED positions — on clean corpora a small
+    fraction of the input."""
+    from pyspark.sql.window import Window as W
+
+    if k < 1 or stride < 1:
+        raise ValueError(f"k and stride must be >= 1 (got k={k}, stride={stride})")
+    hasher = _hasher(hash_method)
+    s = F.col(text_col)
+    positions = F.when(
+        F.length(s) >= k, F.sequence(F.lit(1), F.length(s) - (k - 1), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.transform(positions, lambda i: hasher(F.substring(s, i, k)))
+        ).alias("_i", "h"),
+    ).select(
+        id_col, (F.col("_i") * stride + 1).alias("pos"), "h"
+    )
+    dup_h = (
+        wins.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    flagged = wins.join(dup_h, "h").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    islands = (
+        flagged.withColumn(
+            "_new", (F.col("pos") > F.lag("pos").over(w) + k).cast("int")
+        )
+        .withColumn("_isl", F.sum(F.coalesce("_new", F.lit(0))).over(w))
+        .groupBy(id_col, "_isl")
+        .agg((F.max("pos") - F.min("pos") + k).alias("_span_chars"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("_span_chars").alias("dup_chars"),
+        )
+    )
+    per_doc = wins.groupBy(id_col).agg(F.count("h").alias("n_windows"))
+    n_dup = flagged.groupBy(id_col).agg(F.count("*").alias("n_dup_windows"))
+    return (
+        per_doc.join(n_dup, id_col, "left")
+        .join(islands, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+        )
+    )

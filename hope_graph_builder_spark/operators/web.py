@@ -150,6 +150,7 @@ def host_boilerplate_strip(
     min_pages: int = 2,
     min_chars: int = 1,
     sep: str = "\n",
+    key_method: str = "raw",
 ) -> DataFrame:
     """Per-HOST boilerplate removal — the within-site complement of
     corpus-wide line dedup: a line is boilerplate for a host when it
@@ -171,31 +172,42 @@ def host_boilerplate_strip(
     aggregate map-side, and the per-host page totals are one tiny
     groupBy(host) that broadcasts back; the strip itself is one
     equi-join on (host, line) (AQE skew-split absorbs mega-hosts) and
-    reassembly one groupBy(id), exactly the line_dedup plan."""
+    reassembly one groupBy(id), exactly the line_dedup plan.
+
+    ``key_method='xx'`` carries ``xxhash64(line)`` through the
+    presence-count exchanges and the strip join instead of the raw
+    line text (8 bytes/key vs the whole line — the dominant shuffle
+    payload); identical results up to 64-bit collisions within one
+    host (the line_dedup 'xx' convention). 'raw' is the default and
+    the oracle-replayed mode."""
+    if key_method not in ("raw", "xx"):
+        raise ValueError(f"unknown key_method {key_method!r} (use 'raw' or 'xx')")
     ratio_ppm = int(round(min_ratio * 1_000_000))
-    lines = df.select(
+    raw_lines = df.select(
         F.col(id_col),
         F.col(host_col),
         F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
     )
+    key = F.xxhash64("line") if key_method == "xx" else F.col("line")
+    lines = raw_lines.select(id_col, host_col, "pos", "line", key.alias("_lk"))
     host_pages = df.groupBy(host_col).agg(F.count("*").alias("n_pages"))
     page_presence = (
         lines.filter(F.length("line") >= F.lit(min_chars))
-        .select(host_col, "line", id_col)
+        .select(host_col, "_lk", id_col)
         .distinct()
     )
     boiler = (
-        page_presence.groupBy(host_col, "line")
+        page_presence.groupBy(host_col, "_lk")
         .agg(F.count("*").alias("df_pages"))
         .join(host_pages, host_col)
         .filter(
             (F.col("n_pages") >= F.lit(min_pages))
             & (F.col("df_pages") * F.lit(1_000_000) >= F.lit(ratio_ppm) * F.col("n_pages"))
         )
-        .select(host_col, "line", F.lit(True).alias("_boiler"))
+        .select(host_col, "_lk", F.lit(True).alias("_boiler"))
     )
     kept = (
-        lines.join(boiler, [host_col, "line"], "left")
+        lines.join(boiler, [host_col, "_lk"], "left")
         .filter(F.col("_boiler").isNull())
         .select(id_col, "pos", "line")
     )

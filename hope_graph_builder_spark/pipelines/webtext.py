@@ -43,6 +43,8 @@ def run_webtext_ingest(
     quality_min: float = 0.5,
     profiles: DataFrame | None = None,
     minhash_hash: str = "md5",
+    lm: dict | None = None,
+    lm_max_nll: float | None = None,
 ) -> DataFrame:
     """→ (doc_id, url, lang_pred, quality, n_tokens, rep_pass,
     cluster_id, keep): ``keep`` marks the best member of each near-dup
@@ -58,7 +60,18 @@ def run_webtext_ingest(
     (plang, tri — operators/text.train_lang_profiles). Defaults to
     self-training on the labeled ``lang`` column of ``pages`` (at
     100 TB: train once on a sample, the profile table is langs×N rows
-    and broadcasts)."""
+    and broadcasts).
+
+    ``lm`` + ``lm_max_nll`` (both required to enable): a
+    train_char_lm model and its NLL ceiling add the CCNet-style
+    perplexity gate — the output grows an ``avg_nll`` column and
+    ``keep`` additionally requires ``avg_nll ≤ lm_max_nll`` (documents
+    too short to score fail the gate). The model rides two broadcast
+    joins, so the extra cost is one more map-shaped pass; canonical
+    selection within a cluster is unchanged (rep ≻ quality ≻ id) —
+    the LM gates the final keep, it does not re-rank duplicates."""
+    if (lm is None) != (lm_max_nll is None):
+        raise ValueError("lm and lm_max_nll must be provided together")
     ex = extract_text(pages).select(
         id_col, "url", F.col("extracted_text"),
         *([] if profiles is not None else [F.col("lang")]),
@@ -86,6 +99,17 @@ def run_webtext_ingest(
         hash=minhash_hash,
     ).select(id_col, "cluster_id")
     out = sig.join(clusters, id_col)
+    extra_cols = []
+    lm_gate = F.lit(True)
+    if lm is not None:
+        nll = textops.char_lm_score(
+            ex, lm, text_col="extracted_text", id_col=id_col
+        ).select(id_col, "avg_nll")
+        out = out.join(nll, id_col)
+        extra_cols = ["avg_nll"]
+        lm_gate = F.coalesce(
+            F.col("avg_nll") <= F.lit(float(lm_max_nll)), F.lit(False)
+        )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("rep_pass"), F.desc("quality"), F.asc(id_col)
     )
@@ -95,12 +119,13 @@ def run_webtext_ingest(
             "keep",
             (F.col("_rn") == 1)
             & (F.col("quality") >= F.lit(float(quality_min)))
-            & F.col("rep_pass"),
+            & F.col("rep_pass")
+            & lm_gate,
         )
         .drop("_rn")
         .select(
             id_col, "url", "lang_pred", "quality", "n_tokens",
-            "rep_pass", "cluster_id", "keep",
+            "rep_pass", "cluster_id", *extra_cols, "keep",
         )
     )
 

@@ -881,3 +881,103 @@ def test_shard_shuffle_deterministic(spark):
     c = {r.doc_id: (r.shard, r.pos) for r in corpus.shard_shuffle(d, 8, salt="other").collect()}
     amap = {r.doc_id: (r.shard, r.pos) for r in a}
     assert any(amap[i] != c[i] for i in amap)
+
+
+def test_dup_substring_spans(spark):
+    """Planted duplicate passage → merged maximal span with exact
+    char accounting; unique docs unflagged; short docs 0 windows;
+    stride>1 still catches runs >= k+stride-1; xx mode == md5 mode."""
+    from hope_graph_builder_spark.operators import dedup as dd
+
+    shared = "X" * 25  # a 25-char run duplicated across docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaa {shared} bbb unique tail one here"),
+            (2, f"zzz {shared} qqq other ending two here"),
+            (3, "totally unique document with no repeats at all"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dd.dup_substring_spans(docs, k=10).collect()}
+    # the maximal shared region is ' ' + 'X'*25 + ' ' (both flanking
+    # spaces sit inside cross-doc-identical windows) -> one 27-char span
+    assert out[1].n_spans == 1 and out[2].n_spans == 1
+    assert out[1].dup_chars == 27 and out[2].dup_chars == 27
+    assert out[3].n_dup_windows == 0 and out[3].n_spans == 0
+    assert out[4].n_windows == 0 and out[4].dup_chars == 0
+    # stride mode: run length 25 >= 10 + 3 - 1 -> still detected
+    st = {r.doc_id: r for r in dd.dup_substring_spans(docs, k=10, stride=3).collect()}
+    assert st[1].n_dup_windows > 0 and st[3].n_dup_windows == 0
+    # production hash mode: identical spans on this fixture
+    xx = {r.doc_id: r for r in dd.dup_substring_spans(docs, k=10, hash_method="xx").collect()}
+    assert all(
+        (xx[i].n_spans, xx[i].dup_chars) == (out[i].n_spans, out[i].dup_chars)
+        for i in (1, 2, 3, 4)
+    )
+
+
+def test_line_key_xx_mode_equivalence(spark):
+    """The 8-byte hash-key production mode ('xx') produces identical
+    output to raw-line keys on both line-shuffle operators."""
+    from hope_graph_builder_spark.operators import dedup as dd
+    from hope_graph_builder_spark.operators import web
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a.com", "shared banner line here\nunique alpha\nshared banner line here"),
+            (2, "a.com", "shared banner line here\nunique beta"),
+            (3, "b.com", "shared banner line here\nunique gamma"),
+            (4, "b.com", "other content\nunique delta"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    for fn, kw in (
+        (dd.line_dedup, dict(min_chars=5)),
+        (web.host_boilerplate_strip, dict(min_ratio=0.5, min_pages=2, min_chars=5)),
+    ):
+        raw = sorted(map(tuple, fn(docs, **kw).collect()))
+        xx = sorted(map(tuple, fn(docs, key_method="xx", **kw).collect()))
+        assert raw == xx, fn.__name__
+
+
+def test_webtext_ingest_lm_gate(spark):
+    """With an lm + ceiling the ingest grows avg_nll and keep
+    additionally requires the perplexity gate: a gibberish page whose
+    other signals pass is now dropped; the fluent page survives;
+    default call (no lm) keeps its original schema."""
+    from hope_graph_builder_spark.operators import text as textops
+    from hope_graph_builder_spark.operators.extract import markup_pages
+    from hope_graph_builder_spark.pipelines.webtext import run_webtext_ingest
+
+    fluent_words = " ".join(
+        f"field{i} green{i} rain{i} wind{i} stone{i}" for i in range(25)
+    )
+    gibberish = " ".join(f"zq{i}xv jwk{i}qz vxq{i}jw" for i in range(30))
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox " + fluent_words, "en")],
+        "doc_id long, text string, lang string",
+    )
+    lm = textops.train_char_lm(train)
+    pages = markup_pages(
+        spark.createDataFrame(
+            [
+                (1, "https://x.example/1", "the quick brown fox " + fluent_words, "en"),
+                (2, "https://x.example/2", gibberish, "en"),
+            ],
+            "doc_id long, url string, text string, lang string",
+        )
+    )
+    base = {r.doc_id: r for r in run_webtext_ingest(pages).collect()}
+    assert "avg_nll" not in base[1].asDict()
+    out = {
+        r.doc_id: r
+        for r in run_webtext_ingest(pages, lm=lm, lm_max_nll=3.0).collect()
+    }
+    assert out[1].avg_nll < out[2].avg_nll
+    assert out[1].keep
+    assert not out[2].keep and base[2].keep  # only the LM gate drops it
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_webtext_ingest(pages, lm=lm)

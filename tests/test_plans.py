@@ -216,3 +216,53 @@ def test_pack_budget_no_global_data_window(spark):
     # offsets attach via broadcast, and nothing degenerates to a loop join
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram table must ride a broadcast join — the doc
+    side never shuffles by gram."""
+    from hope_graph_builder_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select("text")
+    plan = _plan(corpus.ngram_contamination(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_char_lm_score_broadcasts_model(spark):
+    """Both model joins broadcast (charset-bounded tables); the only
+    wide exchange is the doc-keyed groupBy; no Python in the plan."""
+    from hope_graph_builder_spark.operators import text as t
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id", "text")
+    lm = t.train_char_lm(docs.filter(F.col("doc_id") % 10 == 0))
+    plan = _plan(t.char_lm_score(docs, lm))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_shuffle_single_exchange(spark):
+    """Position assignment adds exactly the one hash-partition the
+    sharded write needs — one Exchange, partitioned by shard, never a
+    single-partition global window."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id")
+    plan = _plan(corpus.shard_shuffle(d, 16))
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_dup_substrings_no_cartesian_no_python(spark):
+    """The ExactSubstr audit stays equi-join + window shaped: no
+    cartesian/loop joins, no Python eval, and the span window is
+    partitioned by document (never a global single-partition sort)."""
+    from hope_graph_builder_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id", "text")
+    plan = _plan(dd.dup_substring_spans(docs, k=30, stride=4))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
