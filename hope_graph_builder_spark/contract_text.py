@@ -1328,6 +1328,38 @@ def q_contamination(spark, sf_dir):
 
 
 @register(
+    "c_chunk_tokens",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(list_filter(
+               CASE WHEN len(toks) > 0 THEN range(0, len(toks), 16) ELSE [] END,
+               s -> s = 0 OR s + 8 < len(toks))) AS s
+      FROM d
+    )
+    SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, s + 1, s + 24)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, s + 1, s + 24), ' ') AS chunk_text
+    FROM e
+    """,
+)
+def q_chunk_tokens(spark, sf_dir):
+    """Fixed-window training-sequence chunking (operators/corpus
+    .chunk_tokens): seq_len=24 tokens, overlap=8 (stride 16). The
+    oracle replays tokenization, the start grid, the no-new-tokens
+    tail suppression and the slice/rejoin — every chunk's id, length
+    and text must match byte-for-byte."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return corpus.chunk_tokens(d, seq_len=24, overlap=8)
+
+
+@register(
     "d_dup_substrings",
     """
     WITH d AS (
@@ -1415,6 +1447,95 @@ def q_dup_substrings(spark, sf_dir):
         F.col("n_spans").cast("long").alias("n_spans"),
         F.col("dup_chars").cast("long").alias("dup_chars"),
     )
+
+
+@register(
+    "d_strip_dup_spans",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'standard license header text do not remove this notice. '
+                  ELSE '' END || text AS s
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, (p.pos) AS pos, p.h FROM (
+        SELECT doc_id, unnest(list_transform(
+          CASE WHEN length(s) >= 30 THEN range(1, length(s) - 28) ELSE [] END,
+          i -> struct_pack(
+            pos := CAST(i AS INT),
+            h := CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 30)), 1, 15))
+                      AS BIGINT)))) AS p
+        FROM d)
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+    flagged AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+    lagged AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lag_pos
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN pos > lag_pos + 30 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS i
+      FROM lagged
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s0, max(pos) + 29 AS e0
+      FROM isl GROUP BY doc_id, i
+    ),
+    segs AS (
+      SELECT doc_id,
+             coalesce(lag(e0) OVER (PARTITION BY doc_id ORDER BY s0) + 1, 1) AS gs,
+             s0 - 1 AS ge
+      FROM spans
+      UNION ALL
+      SELECT doc_id, max(e0) + 1 AS gs, NULL AS ge FROM spans GROUP BY doc_id
+    ),
+    rebuilt AS (
+      SELECT segs.doc_id,
+             string_agg(substr(d.s, gs, coalesce(ge, length(d.s)) - gs + 1),
+                        '' ORDER BY gs) AS clean
+      FROM segs JOIN d USING (doc_id)
+      GROUP BY segs.doc_id
+    ),
+    nsp AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_removed_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean, d.s) AS text,
+           coalesce(nsp.n_removed_spans, 0) AS n_removed_spans,
+           CAST(length(d.s) - length(coalesce(r.clean, d.s)) AS BIGINT)
+             AS removed_chars
+    FROM d
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN nsp USING (doc_id)
+    """,
+)
+def q_strip_dup_spans(spark, sf_dir):
+    """Exact-substring REMOVAL (operators/dedup.strip_dup_spans): the
+    same planted-header corpus as d_dup_substrings, but the output is
+    the cleaned text itself — every maximal duplicated span excised
+    from every document. The oracle replays the full audit chain and
+    then rebuilds each document from the gap segments between spans
+    (lag window + ordered string_agg), so every cleaned byte is
+    compared, not just the span arithmetic."""
+    from hope_graph_builder_spark.operators import dedup as dd
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("standard license header text do not remove this notice. "),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return dd.strip_dup_spans(d, k=30, stride=1)
 
 
 @register(

@@ -199,3 +199,55 @@ def shard_shuffle(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("_h")
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    seq_len: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into training sequences of ``seq_len``
+    whitespace tokens with ``overlap`` tokens of context carried
+    between consecutive chunks (stride = seq_len − overlap) — the
+    fixed-window chunking stage between a cleaned corpus and a
+    tokenizer/loader. One output row per chunk: ``(id, chunk_id,
+    n_tokens, chunk_text)``, ``chunk_id`` dense from 0 in document
+    order; the final chunk is shorter when the document doesn't divide
+    evenly, and a tail window that would contain NO unseen tokens is
+    not emitted (every token appears in ≥ 1 chunk, the last token's
+    chunk is never fully redundant). Empty documents produce no rows.
+
+    Scale shape: pure map stage — tokenize once per row, explode the
+    chunk starts, slice the hoisted token array (element references
+    only, no re-tokenization per chunk); zero shuffles, pushes through
+    any upstream filter."""
+    if seq_len < 1 or not 0 <= overlap < seq_len:
+        raise ValueError(
+            f"need seq_len >= 1 and 0 <= overlap < seq_len "
+            f"(got seq_len={seq_len}, overlap={overlap})"
+        )
+    stride = seq_len - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    d = df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+    starts = F.filter(
+        F.when(
+            F.col("_n") > 0, F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+        ).otherwise(F.array().cast("array<int>")),
+        lambda s: (s == 0) | (s + overlap < F.col("_n")),
+    )
+    return (
+        d.select(id_col, "_toks", F.explode(starts).alias("_s"))
+        .select(
+            id_col,
+            (F.col("_s") / stride).cast("long").alias("chunk_id"),
+            F.slice(F.col("_toks"), F.col("_s") + 1, seq_len).alias("_c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_c").cast("long").alias("n_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )

@@ -505,6 +505,51 @@ def ngram_jaccard_pairs(
     return j.select("a", "b", "jaccard")
 
 
+def _dup_flagged(
+    df: DataFrame,
+    k: int,
+    stride: int,
+    text_col: str,
+    id_col: str,
+    hash_method: str,
+):
+    """Shared front half of the ExactSubstr family: ``wins`` = one row
+    per sampled k-char window ``(id, pos, h)`` (plus a null row for
+    sub-k documents, so per-doc window counts see every doc), and
+    ``flagged`` = the ``(id, pos)`` subset whose window content occurs
+    MORE THAN ONCE corpus-wide. Used by the audit
+    (dup_substring_spans) and the removal (strip_dup_spans)."""
+    if k < 1 or stride < 1:
+        raise ValueError(f"k and stride must be >= 1 (got k={k}, stride={stride})")
+    hasher = _hasher(hash_method)
+    s = F.col(text_col)
+    positions = F.when(
+        F.length(s) >= k, F.sequence(F.lit(1), F.length(s) - (k - 1), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.transform(positions, lambda i: hasher(F.substring(s, i, k)))
+        ).alias("_i", "h"),
+    ).select(
+        id_col, (F.col("_i") * stride + 1).alias("pos"), "h"
+    )
+    dup_h = (
+        wins.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    # shuffle-hash, never broadcast: at corpus scale the duplicated-
+    # hash set is billions of rows — an adaptive broadcast would
+    # funnel it through the driver (measured: ~1.1 GiB collected at
+    # MULT=100 before this hint). Both sides are already hash-keyed;
+    # the per-partition build side is the smaller dup_h.
+    flagged = wins.join(dup_h.hint("shuffle_hash"), "h").select(id_col, "pos")
+    return wins, flagged
+
+
 def dup_substring_spans(
     df: DataFrame,
     k: int = 40,
@@ -547,29 +592,7 @@ def dup_substring_spans(
     fraction of the input."""
     from pyspark.sql.window import Window as W
 
-    if k < 1 or stride < 1:
-        raise ValueError(f"k and stride must be >= 1 (got k={k}, stride={stride})")
-    hasher = _hasher(hash_method)
-    s = F.col(text_col)
-    positions = F.when(
-        F.length(s) >= k, F.sequence(F.lit(1), F.length(s) - (k - 1), F.lit(stride))
-    ).otherwise(F.array().cast("array<int>"))
-    wins = df.select(
-        F.col(id_col),
-        F.posexplode_outer(
-            F.transform(positions, lambda i: hasher(F.substring(s, i, k)))
-        ).alias("_i", "h"),
-    ).select(
-        id_col, (F.col("_i") * stride + 1).alias("pos"), "h"
-    )
-    dup_h = (
-        wins.filter(F.col("h").isNotNull())
-        .groupBy("h")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
-        .select("h")
-    )
-    flagged = wins.join(dup_h, "h").select(id_col, "pos")
+    wins, flagged = _dup_flagged(df, k, stride, text_col, id_col, hash_method)
     w = W.partitionBy(id_col).orderBy("pos")
     islands = (
         flagged.withColumn(
@@ -595,5 +618,81 @@ def dup_substring_spans(
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+        )
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    k: int = 40,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_method: str = "md5",
+) -> DataFrame:
+    """The REMOVAL half of the ExactSubstr family: cut every maximal
+    duplicated span (the same islands dup_substring_spans audits) out
+    of every document and return the corpus with ``text_col`` REPLACED
+    by the cleaned text, plus ``n_removed_spans`` / ``removed_chars``.
+    All occurrences of duplicated text are removed (the licence block
+    disappears from every document carrying it) — the
+    deduplicating-training-data policy; a doc that is entirely
+    duplicated text comes back as the empty string, and a
+    duplicate-free doc passes through byte-identical. With
+    ``stride`` > 1 the spans are the sampled-grid approximation the
+    audit documents (runs ≥ k + stride - 1 still guaranteed caught).
+
+    Scale shape: the audit's stages (map-side-combining groupBy(hash),
+    shuffle-hash flag join, per-doc island window over FLAGGED
+    positions only) plus one per-doc span list (collect_list over
+    n_spans rows — bounded by doc length / k) and one id-equi join
+    back to the corpus. The surgery itself is a native ``aggregate``
+    fold over the span array (substring concatenation — no UDF, no
+    explode of the text), so the rebuild is a pure map stage on top of
+    the join."""
+    from pyspark.sql.window import Window as W
+
+    _, flagged = _dup_flagged(df, k, stride, text_col, id_col, hash_method)
+    w = W.partitionBy(id_col).orderBy("pos")
+    spans = (
+        flagged.withColumn(
+            "_new", (F.col("pos") > F.lag("pos").over(w) + k).cast("int")
+        )
+        .withColumn("_isl", F.sum(F.coalesce("_new", F.lit(0))).over(w))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e"))
+    )
+    doc_spans = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_spans")
+    )
+    txt = F.col(text_col)
+    sp = F.coalesce(F.col("_spans"), F.array().cast("array<struct<s:int,e:int>>"))
+    # fold state: (acc = clean prefix, prev = first char not yet
+    # copied); islands are strictly disjoint with a >= 1 char gap, so
+    # every segment length is >= 0 and substring() of a non-positive
+    # length is ''.
+    cut = F.aggregate(
+        sp,
+        F.struct(F.lit("").alias("acc"), F.lit(1).alias("prev")),
+        lambda a, x: F.struct(
+            F.concat(a["acc"], F.substring(txt, a["prev"], x["s"] - a["prev"])).alias(
+                "acc"
+            ),
+            (x["e"] + F.lit(1)).alias("prev"),
+        ),
+        lambda a: F.concat(
+            a["acc"], F.substring(txt, a["prev"], F.length(txt) - a["prev"] + 1)
+        ),
+    )
+    return (
+        df.join(doc_spans, id_col, "left")
+        .withColumn("_clean", cut)
+        .select(
+            *[c for c in df.columns if c != text_col],
+            F.col("_clean").alias(text_col),
+            F.coalesce(F.size("_spans"), F.lit(0)).cast("int").alias(
+                "n_removed_spans"
+            ),
+            (F.length(txt) - F.length("_clean")).cast("long").alias("removed_chars"),
         )
     )

@@ -917,6 +917,51 @@ def test_dup_substring_spans(spark):
     )
 
 
+def test_strip_dup_spans(spark):
+    """Exact-substring removal: the cleaned text byte-for-byte on a
+    closed-form fixture — flanking-space maximal spans excised from
+    every copy, a fully-duplicated doc collapses to '', a doc with two
+    separate duplicated passages loses two spans, unique and sub-k
+    docs pass through byte-identical; strip stats equal the audit's
+    span stats; xx mode == md5 mode."""
+    from hope_graph_builder_spark.operators import dedup as dd
+
+    shared = "X" * 25
+    s2 = "abcdefghijklmnopqrstuvwxy"  # 25 distinct chars, no self-repeat
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaa {shared} bbb unique tail one here"),
+            (2, f"zzz {shared} qqq other ending two here"),
+            (3, "totally unique document with no repeats at all"),
+            (4, "tiny"),
+            (5, f" {shared} "),
+            (6, f"one {s2} gap unique middle part {s2} final"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dd.strip_dup_spans(docs, k=10).collect()}
+    assert out[1].text == "aaabbb unique tail one here"
+    assert out[2].text == "zzzqqq other ending two here"
+    assert out[3].text == "totally unique document with no repeats at all"
+    assert out[4].text == "tiny"
+    assert out[5].text == "" and out[5].removed_chars == 27
+    # doc 6: each ' '+s2+' ' span (27 chars) removed independently
+    assert out[6].text == "onegap unique middle partfinal"
+    assert out[6].n_removed_spans == 2 and out[6].removed_chars == 54
+    assert out[1].n_removed_spans == 1 and out[1].removed_chars == 27
+    assert out[3].n_removed_spans == 0 and out[3].removed_chars == 0
+    # strip stats are exactly the audit's span stats
+    audit = {r.doc_id: r for r in dd.dup_substring_spans(docs, k=10).collect()}
+    assert all(
+        (out[i].n_removed_spans, out[i].removed_chars)
+        == (audit[i].n_spans, audit[i].dup_chars)
+        for i in audit
+    )
+    # production hash mode: identical cleaned bytes on this fixture
+    xx = {r.doc_id: r for r in dd.strip_dup_spans(docs, k=10, hash_method="xx").collect()}
+    assert all(xx[i].text == out[i].text for i in out)
+
+
 def test_line_key_xx_mode_equivalence(spark):
     """The 8-byte hash-key production mode ('xx') produces identical
     output to raw-line keys on both line-shuffle operators."""
@@ -981,3 +1026,40 @@ def test_webtext_ingest_lm_gate(spark):
 
     with pytest.raises(ValueError):
         run_webtext_ingest(pages, lm=lm)
+
+
+def test_chunk_tokens(spark):
+    """Exact chunk grid: stride = seq_len - overlap, short tail kept,
+    all-redundant tail suppressed, empty doc emits nothing."""
+    import pytest
+
+    from hope_graph_builder_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (2, "a b c"),
+            (3, ""),
+            (4, "x " * 4),  # trailing spaces dropped -> 4 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus.chunk_tokens(docs, seq_len=4, overlap=2)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text) for r in out.collect())
+    )
+    # doc 1: starts 0,2,4,6,8 but 8+2 >= 10 -> suppressed (tokens t8,t9
+    # already covered by the chunk at 6); starts 0,2,4,6
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t2 t3 t4 t5"),
+        (1, 2, 4, "t4 t5 t6 t7"),
+        (1, 3, 4, "t6 t7 t8 t9"),
+    ]
+    # doc 2: 3 tokens -> one short chunk
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 3, "a b c")]
+    assert not [r for r in rows if r[0] == 3]
+    # doc 4: 4 tokens exactly one full chunk; start 2 suppressed (2+2>=4)
+    assert [r for r in rows if r[0] == 4] == [(4, 0, 4, "x x x x")]
+    with pytest.raises(ValueError):
+        corpus.chunk_tokens(docs, seq_len=4, overlap=4)

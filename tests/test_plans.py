@@ -266,3 +266,28 @@ def test_dup_substrings_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_strip_dup_spans_no_cartesian_no_python(spark):
+    """The removal keeps the audit's plan discipline: no Cartesian/BNLJ
+    (the flag join stays shuffle-hash even under AQE), no Python eval
+    (the text surgery is a native aggregate fold), no single-partition
+    funnel."""
+    from hope_graph_builder_spark.operators import dedup as dd
+
+    d = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id", "text")
+    plan = _plan(dd.strip_dup_spans(d, k=30))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_chunk_tokens_zero_exchange(spark):
+    """Sequence chunking is a pure map stage: no Exchange anywhere in
+    the plan, no Python eval."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id", "text")
+    plan = _plan(corpus.chunk_tokens(d, seq_len=24, overlap=8))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

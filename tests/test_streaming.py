@@ -144,3 +144,41 @@ def test_streaming_interval_join_stream_static(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_chunk_tokens_stream_static(spark, tmp_path):
+    """corpus.chunk_tokens works UNCHANGED over a streaming documents
+    source: tokenize + start-grid explode + slice are all stateless
+    map stages, so the chunk stream needs no state store and equals
+    the batch chunking exactly."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators import corpus
+
+    docs = (
+        spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    d_stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        corpus.chunk_tokens(d_stream, seq_len=24, overlap=8)
+        .writeStream.format("memory")
+        .queryName("chunk_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("chunk_stream_test")
+    want = corpus.chunk_tokens(spark.read.parquet(src), seq_len=24, overlap=8)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
