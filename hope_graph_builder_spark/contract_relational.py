@@ -518,6 +518,78 @@ def q_interval_cover(spark, sf_dir):
 
 
 @register(
+    "j_sessionize",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    l AS (
+      SELECT event_id, user_id, ts, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e
+    )
+    SELECT event_id, user_id, ts,
+           CAST(sum(CASE WHEN prev IS NULL OR us - prev >= 30000000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id) - 1
+                AS BIGINT) AS session_seq
+    FROM l
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Session assignment (operators/temporal.sessionize): new session
+    at every >= 30000 s gap per user (the streaming session_window
+    boundary rule), exact integer-microsecond gap arithmetic, ties
+    broken by event_id. The oracle replays the lag/cumsum islands —
+    every event's session_seq must match."""
+    from hope_graph_builder_spark.operators.temporal import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    return sessionize(e, gap_seconds=30000)
+
+
+@register(
+    "j_session_stats",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events
+    ),
+    l AS (
+      SELECT event_id, user_id, ts, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts, us,
+             sum(CASE WHEN prev IS NULL OR us - prev >= 30000000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id) - 1
+               AS session_seq
+      FROM l
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS ts_start, max(ts) AS ts_end,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_session_stats(spark, sf_dir):
+    """Per-session rollup (operators/temporal.session_stats): event
+    count, exact start/end timestamps and integer-microsecond
+    duration per (user, session). The batch twin of a streaming
+    session_window aggregation."""
+    from hope_graph_builder_spark.operators.temporal import session_stats
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    return session_stats(e, gap_seconds=30000)
+
+
+@register(
     "j_asof_join",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -1566,6 +1566,255 @@ def q_shard_shuffle(spark, sf_dir):
 
 
 @register(
+    "t_gopher_flags",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS toks,
+             string_split(text, chr(10)) AS lines,
+             text AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             AS BIGINT) AS sum_word_chars,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+             AS INT) AS n_alpha_words,
+        CAST((length(t) - length(replace(t, '#', '')))
+             + (length(t) - length(replace(t, '...', ''))) // 3
+             AS INT) AS n_syms,
+        CAST(len(list_intersect(toks,
+               ['the','be','to','of','and','that','have','with'])) AS INT)
+             AS n_stop_kinds,
+        CAST(len(lines) AS INT) AS n_lines,
+        CAST(len(list_filter(lines,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS INT)
+             AS n_bullet_lines,
+        CAST(len(list_filter(lines,
+               l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS INT)
+             AS n_ellipsis_lines,
+        CAST(len(lines) - len(list_distinct(lines)) AS INT) AS n_dup_lines
+      FROM d
+    )
+    SELECT *,
+      (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+      (n_words > 0 AND sum_word_chars >= 3 * n_words
+                   AND sum_word_chars <= 10 * n_words) AS ok_mean_word_len,
+      (n_syms * 10 <= n_words) AS ok_symbol_ratio,
+      (n_alpha_words * 5 >= n_words * 4) AS ok_alpha_words,
+      (n_stop_kinds >= 2) AS ok_stop_words,
+      (n_bullet_lines * 10 <= n_lines * 9) AS ok_bullet_lines,
+      (n_ellipsis_lines * 10 <= n_lines * 3) AS ok_ellipsis_lines,
+      (n_dup_lines * 10 <= n_lines * 3) AS ok_dup_lines,
+      ((n_words >= 50 AND n_words <= 100000)
+       AND (n_words > 0 AND sum_word_chars >= 3 * n_words
+                        AND sum_word_chars <= 10 * n_words)
+       AND (n_syms * 10 <= n_words)
+       AND (n_alpha_words * 5 >= n_words * 4)
+       AND (n_stop_kinds >= 2)
+       AND (n_bullet_lines * 10 <= n_lines * 9)
+       AND (n_ellipsis_lines * 10 <= n_lines * 3)
+       AND (n_dup_lines * 10 <= n_lines * 3)) AS gopher_pass
+    FROM c
+    """,
+)
+def q_gopher_flags(spark, sf_dir):
+    """Full Gopher quality battery (operators/text.gopher_flags):
+    every raw counter and every rule flag replayed — the oracle
+    recomputes tokenization, line splitting, the length/replace symbol
+    counts and all eight cross-multiplied integer comparisons, so a
+    drift in ANY counter or threshold shows as a hash mismatch."""
+    from hope_graph_builder_spark.operators import text as textops
+
+    return textops.gopher_flags(_docs(spark, sf_dir))
+
+
+@register(
+    "d_delta_dedup",
+    """
+    WITH hist AS (
+      SELECT CASE WHEN doc_id = 0
+                  THEN 'planted historical duplicate passage shared with the incoming batch'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    idx AS (SELECT DISTINCT md5(text) AS h FROM hist),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 1
+                  THEN 'planted historical duplicate passage shared with the incoming batch'
+                  WHEN doc_id % 7 = 2
+                  THEN 'batch internal duplicate boilerplate page'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 3 != 0
+    ),
+    k AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM b GROUP BY 1)
+    SELECT b.doc_id,
+           (idx.h IS NOT NULL) AS dup_of_index,
+           (b.doc_id != k.keeper) AS dup_in_batch,
+           (idx.h IS NULL AND b.doc_id = k.keeper) AS keep
+    FROM b
+    LEFT JOIN idx ON md5(b.text) = idx.h
+    JOIN k ON md5(b.text) = k.h
+    """,
+)
+def q_delta_dedup(spark, sf_dir):
+    """Incremental exact dedup against a persisted index
+    (operators/dedup.delta_exact_dedup): history = every 3rd doc (one
+    carrying a planted passage), batch = the rest with the planted
+    passage re-appearing every 5th id (index hits) and a shared
+    boilerplate page every 7th (within-batch dups, keeper = min id).
+    The oracle replays the digest index, both joins and all three
+    flags."""
+    from hope_graph_builder_spark.operators import dedup as dd
+
+    planted = (
+        "planted historical duplicate passage shared with the incoming batch"
+    )
+    bdup = "batch internal duplicate boilerplate page"
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.when(F.col("doc_id") == 0, F.lit(planted))
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    index = hist.select(F.md5("text").alias("h")).distinct()
+    batch = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 1, F.lit(planted))
+        .when(F.col("doc_id") % 7 == 2, F.lit(bdup))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dd.delta_exact_dedup(batch, index).select(
+        "doc_id", "dup_of_index", "dup_in_batch", "keep"
+    )
+
+
+@register(
+    "t_vocab_topk",
+    """
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+               AS token
+      FROM documents
+    ),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token)
+    SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 200
+    """,
+)
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary induction (operators/text.vocab_topk): the
+    200 most frequent lowercased tokens, tie-broken by token so the
+    cut is a total order. The Spark side compiles to map-side-combined
+    counts + TakeOrderedAndProject; the oracle is the plain
+    ORDER BY/LIMIT form — the boundary ties must agree exactly."""
+    from hope_graph_builder_spark.operators import text as textops
+
+    return textops.vocab_topk(_docs(spark, sf_dir), k=200)
+
+
+@register(
+    "t_bpe_pairs",
+    """
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+               AS w
+      FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS f FROM t GROUP BY w),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, CAST(i AS INT), 2))) AS p,
+             f
+      FROM wf WHERE length(w) >= 2
+    )
+    SELECT substr(p, 1, 1) AS a, substr(p, 2, 1) AS b,
+           CAST(sum(f) AS BIGINT) AS cnt
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_bpe_pairs(spark, sf_dir):
+    """BPE merge statistics (operators/text.bpe_pair_counts): corpus
+    counts of adjacent character pairs inside words, weighted by word
+    frequency — computed over the collapsed word-frequency table the
+    way BPE trainers do. The oracle replays tokenization, the word
+    collapse, the pair explode and the weighted sum; every (a, b,
+    cnt) row must match."""
+    from hope_graph_builder_spark.operators import text as textops
+
+    return textops.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "c_quota_cap",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#q0'), 1, 15))
+                  AS BIGINT) AS _h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY _h, doc_id) - 1
+                  AS BIGINT) AS grp_rank
+      FROM h
+    )
+    SELECT doc_id, source, grp_rank FROM r WHERE grp_rank < 8
+    """,
+)
+def q_quota_cap(spark, sf_dir):
+    """Per-group corpus balancing, hash mode (operators/corpus
+    .quota_cap): at most 8 docs per source, selected by the salted
+    60-bit hash order. The oracle is the NAIVE single-window rank —
+    the operator's two-phase bucket decomposition (offsets + live-
+    bucket filter + within-bucket rank) must reproduce it row-for-row
+    including every grp_rank, pinning the decomposition as exact."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return corpus.quota_cap(d, quota=8, by="source", salt="q0")
+
+
+@register(
+    "c_quota_cap_quality",
+    """
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(doc_id % 97 AS DOUBLE) / 96.0 AS quality
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             CAST(row_number() OVER (
+                    PARTITION BY source ORDER BY quality DESC, doc_id) - 1
+                  AS BIGINT) AS grp_rank
+      FROM q
+    )
+    SELECT doc_id, source, quality, grp_rank FROM r WHERE grp_rank < 5
+    """,
+)
+def q_quota_cap_quality(spark, sf_dir):
+    """quota_cap, quality mode: the TOP 5 per source by (quality desc,
+    id) — quality synthesized as an exact dyadic-free but IEEE-exact
+    division (doc_id % 97) / 96.0, identical in both engines. The
+    quality-band buckets (floor((1-q)·64)) must land every row in a
+    bucket consistent with the selection order; the naive-window
+    oracle catches any band/tie-break mistake."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") % 97).cast("double") / F.lit(96.0)).alias("quality"),
+    )
+    return corpus.quota_cap(d, quota=5, by="source", quality_col="quality")
+
+
+@register(
     "w_host_boilerplate",
     """
     WITH d AS (

@@ -251,3 +251,77 @@ def chunk_tokens(
             F.array_join("_c", " ").alias("chunk_text"),
         )
     )
+
+
+def quota_cap(
+    df: DataFrame,
+    quota: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "q0",
+    quality_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-group corpus balancing: keep at most ``quota`` rows per
+    ``by`` group (host, source, language — the cap that stops one
+    domain from dominating a crawl-derived training set). Selection is
+    deterministic: with ``quality_col`` (values in [0, 1]) the TOP
+    ``quota`` by (quality desc, id) survive; otherwise a reproducible
+    pseudo-random ``quota`` — rank by the salted 60-bit key hash
+    (hash asc, id asc), the same no-rand() idiom as hash_sample.
+    Output = surviving rows + ``grp_rank`` (0-based rank within the
+    group under the selection order).
+
+    The naive form is one window over each whole group — a single
+    task sorting 10⁸ rows when one host dominates. This is the exact
+    two-phase rank (pack_token_budget's bucket decomposition, applied
+    per group): bucket by the order value (hash prefix, or quality
+    band — bucket order IS selection order), count per (group,
+    bucket), per-group exclusive prefix offsets over ≤ ``n_buckets``
+    rows, then rank ONLY inside live buckets. Buckets whose offset is
+    already ≥ ``quota`` are dropped by the count join BEFORE any
+    sort — for a 10⁸-row host at quota 10³, ~1/n_buckets of the group
+    reaches the window and the rest is filtered at the exchange, so
+    the giant-group sort never materializes. Exchanges: one map-side-
+    combining count, one tiny offsets window, one (group, bucket)
+    window over survivors."""
+    if quota < 1 or n_buckets < 1:
+        raise ValueError(f"need quota >= 1 and n_buckets >= 1 "
+                         f"(got quota={quota}, n_buckets={n_buckets})")
+    if quality_col is not None:
+        q = F.col(quality_col)
+        b = F.greatest(
+            F.least(F.floor((F.lit(1.0) - q) * F.lit(n_buckets)),
+                    F.lit(n_buckets - 1)),
+            F.lit(0),
+        ).cast("int")
+        order = [q.desc(), F.col(id_col).asc()]
+        d = df.withColumn("_b", b)
+    else:
+        h = hash60(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
+        d = df.withColumn("_h", h).withColumn(
+            "_b", F.least(F.floor(F.col("_h") / F.lit((1 << 60) // n_buckets)),
+                          F.lit(n_buckets - 1)).cast("int")
+        )
+        order = [F.col("_h").asc(), F.col(id_col).asc()]
+    counts = d.groupBy(by, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    offs = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.partitionBy(by).orderBy("_b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).filter(F.col("_off") < quota).select(by, "_b", "_off")
+    w = Window.partitionBy(by, "_b").orderBy(*order)
+    return (
+        d.join(offs, [by, "_b"])
+        .withColumn(
+            "grp_rank",
+            (F.col("_off") + F.row_number().over(w) - 1).cast("long"),
+        )
+        .filter(F.col("grp_rank") < quota)
+        .select(*df.columns, "grp_rank")
+    )

@@ -696,3 +696,51 @@ def strip_dup_spans(
             (F.length(txt) - F.length("_clean")).cast("long").alias("removed_chars"),
         )
     )
+
+
+def delta_exact_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_unique: bool = True,
+) -> DataFrame:
+    """Incremental (continuous-crawl) exact dedup: flag every document
+    of a NEW batch against a persisted digest ``index`` of everything
+    already ingested, and against the batch itself. Output = the batch
+    plus ``dup_of_index`` (text digest already in the index),
+    ``dup_in_batch`` (an earlier batch doc — lower id — has the same
+    digest) and ``keep`` = neither; the updated index is
+    ``index ∪ md5 digests of the kept rows`` (one distinct-union the
+    caller persists, e.g. with exact_dedup_groups' digest column).
+
+    ``index`` is one digest column ``h``; pass ``index_unique=False``
+    to defensively dedupe it first (a duplicated index digest would
+    otherwise FAN OUT matching batch rows through the join — the
+    index this module maintains is grouped, so the default trusts it).
+
+    Scale shape: one groupBy(digest) over the batch (map-side combine;
+    batch ≪ corpus) + one digest equi-join batch×index. The index side
+    is billions of rows at corpus scale but the join key is the
+    digest itself — perfectly distributed, AQE-safe, and nothing is
+    re-scanned from the historical corpus: this is the O(batch + index
+    lookup) path that makes rolling ingestion linear instead of
+    re-deduping the full corpus every crawl."""
+    d = batch.withColumn("_h", F.md5(F.col(text_col)))
+    idx = index.select(F.col("h").alias("_h"))
+    if not index_unique:
+        idx = idx.distinct()
+    idx = idx.withColumn("_seen", F.lit(1))
+    keepers = d.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
+    return (
+        d.join(idx, "_h", "left")
+        .join(keepers, "_h")
+        .select(
+            *batch.columns,
+            F.col("_seen").isNotNull().alias("dup_of_index"),
+            (F.col(id_col) != F.col("_keeper")).alias("dup_in_batch"),
+            (F.col("_seen").isNull() & (F.col(id_col) == F.col("_keeper"))).alias(
+                "keep"
+            ),
+        )
+    )

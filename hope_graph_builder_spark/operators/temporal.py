@@ -215,3 +215,68 @@ def asof_join(
     for c in payload:
         out = out.withColumn(prefix + c, F.col("_m").getField(c))
     return out.drop("_t", "_side", "_p", "_m")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Session assignment: within each ``by`` key, a NEW session starts
+    at the first event and whenever the gap since the previous event is
+    ≥ ``gap_seconds`` — the same boundary rule as Spark's native
+    streaming ``session_window`` (an event extends its session's
+    window by ``gap``; an event arriving exactly at the closed end
+    opens a new one), so the batch assignment and the streaming rollup
+    agree. Output = input + ``session_seq`` (0-based per key, in time
+    order; ties broken by ``id_col`` for a total order). Gap
+    arithmetic is exact integer MICROSECONDS — no float time math.
+
+    Scale shape: one hash exchange on the key + one per-key sort (the
+    lag/cumsum island pattern); sessions never cross keys, so there is
+    no global order anywhere."""
+    if gap_seconds < 1:
+        raise ValueError(f"gap_seconds must be >= 1, got {gap_seconds}")
+    gap_us = int(gap_seconds) * 1_000_000
+    # parquet event times are TIMESTAMP_NTZ; unix_micros needs TS —
+    # the cast interprets NTZ in the session tz (UTC here, matching
+    # DuckDB's epoch_us view of NTZ), exact to the microsecond
+    d = events.withColumn("_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+    w = Window.partitionBy(by).orderBy("_us", id_col)
+    new = F.when(
+        F.lag("_us").over(w).isNull()
+        | (F.col("_us") - F.lag("_us").over(w) >= gap_us),
+        1,
+    ).otherwise(0)
+    return (
+        d.withColumn("session_seq", (F.sum(new).over(w) - 1).cast("long"))
+        .drop("_us")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-session rollup over sessionize: ``(by, session_seq,
+    n_events, ts_start, ts_end, duration_us)`` — duration in exact
+    integer microseconds. The batch twin of a streaming
+    ``session_window`` aggregation (same boundary rule;
+    ``session_window.end == ts_end + gap``): one keyed window + one
+    map-side-combined groupBy whose key extends the window's
+    partitioning."""
+    s = sessionize(events, gap_seconds, ts_col, by, id_col)
+    return s.groupBy(by, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("ts_start"),
+        F.max(ts_col).alias("ts_end"),
+        (
+            F.unix_micros(F.max(ts_col).cast("timestamp"))
+            - F.unix_micros(F.min(ts_col).cast("timestamp"))
+        ).alias("duration_us"),
+    )

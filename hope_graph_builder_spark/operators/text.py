@@ -479,3 +479,173 @@ def char_lm_score(docs: "DataFrame", lm: dict, text_col: str = "text",
             ).alias("avg_nll"),
         )
     )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary induction: the ``k`` most frequent lowercased
+    whitespace tokens with their corpus counts, tie-broken by token
+    (count desc, token asc — a total order, so the cut at ``k`` is
+    deterministic across runs and engines). The first stage of any
+    tokenizer build / frequency-based filter list.
+
+    Scale shape: explode → groupBy(token) with map-side combine (a
+    token repeated 10⁹ times collapses per input partition before the
+    shuffle — the vocabulary table, not the corpus, crosses the wire),
+    then orderBy+limit compiles to TakeOrderedAndProject: each
+    partition keeps its local top-k and only k rows per partition
+    reach the driver-side merge — never a global sort of the
+    vocabulary."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        docs.select(F.explode(_lower_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The statistic a BPE tokenizer trainer iterates on: corpus-wide
+    counts of ADJACENT CHARACTER PAIRS inside words, weighted by word
+    frequency — the argmax pair is the next BPE merge. One row per
+    distinct pair: ``(a, b, cnt)``.
+
+    Computed the way BPE trainers actually do it: collapse the corpus
+    to the word-frequency table FIRST (groupBy(token) — map-side
+    combine, so the explode below runs over distinct words × their
+    counts, not over every corpus position), then explode each
+    distinct word's adjacent pairs and sum the word frequencies.
+    Single-char words contribute nothing. Further merge iterations
+    re-tokenize against the grown merge table — a driver loop over
+    THIS operator's output, the standard sample-then-train split; the
+    distributed part is the pair count, which is what dominates at
+    corpus scale."""
+    wf = (
+        docs.select(F.explode(_lower_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, 2),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p"),
+        F.col("f"),
+    )
+    return (
+        pairs.groupBy("p")
+        .agg(F.sum("f").alias("cnt"))
+        .select(
+            F.substring(F.col("p"), 1, 1).alias("a"),
+            F.substring(F.col("p"), 2, 1).alias("b"),
+            "cnt",
+        )
+    )
+
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full Gopher-family document quality battery (Rae et al.
+    2021 §A1.1, the rule set RefinedWeb/Dolma-style pipelines reuse):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, the ≥2-everyday-stopwords requirement,
+    bullet-line and ellipsis-line caps, and the duplicate-line
+    fraction. Complements repetition_flags (the dup n-gram family) —
+    compose both into a keep gate.
+
+    One row per doc: every raw counter plus one boolean per rule and
+    ``gopher_pass`` = all rules. Every threshold is evaluated in
+    CROSS-MULTIPLIED INTEGER form (e.g. mean word length in [3, 10] ⇔
+    3·n ≤ Σlen ≤ 10·n) — no float division anywhere, so the flags are
+    bit-identical across engines and immune to ratio rounding.
+
+    Scale shape: a pure map stage — token and line arrays hoisted once
+    per row, every rule a native Column fold over them; zero
+    exchanges, pushes through any upstream filter."""
+    t = F.col(text_col)
+    d = docs.select(
+        F.col(id_col),
+        _lower_tokens(t).alias("_toks"),
+        F.split(t, "\n").alias("_lines"),
+        t.alias("_t"),
+    )
+    toks, lines = F.col("_toks"), F.col("_lines")
+    n_words = F.size(toks)
+    sum_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_syms = (occurrences(F.col("_t"), "#") + occurrences(F.col("_t"), "...")).cast(
+        "int"
+    )
+    n_stop_kinds = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    out = d.select(
+        id_col,
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_syms.alias("n_syms"),
+        n_stop_kinds.alias("n_stop_kinds"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        n_dup_lines.alias("n_dup_lines"),
+    )
+    w = F.col("n_words").cast("long")
+    rules = {
+        "ok_word_count": (w >= 50) & (w <= 100_000),
+        "ok_mean_word_len": (w > 0)
+        & (F.col("sum_word_chars") >= 3 * w)
+        & (F.col("sum_word_chars") <= 10 * w),
+        "ok_symbol_ratio": F.col("n_syms").cast("long") * 10 <= w,
+        "ok_alpha_words": F.col("n_alpha_words").cast("long") * 5 >= w * 4,
+        "ok_stop_words": F.col("n_stop_kinds") >= 2,
+        "ok_bullet_lines": F.col("n_bullet_lines").cast("long") * 10
+        <= F.col("n_lines").cast("long") * 9,
+        "ok_ellipsis_lines": F.col("n_ellipsis_lines").cast("long") * 10
+        <= F.col("n_lines").cast("long") * 3,
+        "ok_dup_lines": F.col("n_dup_lines").cast("long") * 10
+        <= F.col("n_lines").cast("long") * 3,
+    }
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    gate = None
+    for name in rules:
+        gate = F.col(name) if gate is None else gate & F.col(name)
+    return out.withColumn("gopher_pass", gate)

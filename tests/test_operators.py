@@ -917,6 +917,253 @@ def test_dup_substring_spans(spark):
     )
 
 
+def test_sessionize(spark):
+    """Closed-form session boundaries: gap >= threshold opens a new
+    session (the session_window rule — an event exactly at the closed
+    end starts fresh), sessions never cross users, ties ordered by
+    event id, stats roll up exactly."""
+    from datetime import datetime, timedelta
+
+    from hope_graph_builder_spark.operators.temporal import (
+        session_stats,
+        sessionize,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + timedelta(seconds=s)
+
+    rows = [
+        (1, 10, at(0)), (2, 10, at(100)),      # same session
+        (3, 10, at(100 + 600)),                # exactly gap -> NEW session
+        (4, 10, at(100 + 600 + 599)),          # gap-1 -> same
+        (5, 20, at(50)),                       # other user
+        (6, 20, at(50)),                       # tie ts -> same session, id order
+    ]
+    d = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.event_id: r.session_seq for r in
+           sessionize(d, gap_seconds=600).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 0}
+    st = {(r.user_id, r.session_seq): r for r in
+          session_stats(d, gap_seconds=600).collect()}
+    assert st[(10, 0)].n_events == 2 and st[(10, 1)].n_events == 2
+    assert st[(10, 0)].duration_us == 100_000_000
+    assert st[(10, 1)].duration_us == 599_000_000
+    assert st[(20, 0)].n_events == 2 and st[(20, 0)].duration_us == 0
+
+
+def test_gopher_flags(spark):
+    """Each Gopher rule flips on its own adversarial document while a
+    clean document passes all eight; counters are exact."""
+    from hope_graph_builder_spark.operators import text as textops
+
+    good_body = " ".join(
+        f"word{i} of the and that" for i in range(20)
+    )  # 100 words, stopword-rich, alphabetic, no symbols
+    docs = spark.createDataFrame(
+        [
+            (1, good_body),
+            (2, "the of short doc"),  # < 50 words
+            (3, " ".join("a" for _ in range(25)) + " " +
+                " ".join("the of and be to have" for _ in range(10))),  # mean len < 3
+            (4, good_body + " " + "#" * 1 + " #### ##### ####"),  # symbols
+            (5, " ".join(f"123{i} 456{i}" for i in range(30)) + " the of"),  # digits
+            (6, " ".join(f"word{i} blah{i} blip{i} blop{i}" for i in range(25))),  # no stopwords
+            (7, "\n".join(f"- bullet{i} the of item row here there now ok go"
+                          for i in range(10))),  # all bullet lines
+            (8, "\n".join(f"line{i} the of words trail off and fade..."
+                          for i in range(10))),  # all ellipsis lines
+            (9, good_body + "\n" + "\n".join("same line" for _ in range(9))),  # dup lines
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.gopher_flags(docs).collect()}
+    assert out[1].gopher_pass
+    assert out[1].n_words == 100 and out[1].n_stop_kinds >= 2
+    assert not out[2].ok_word_count and not out[2].gopher_pass
+    assert not out[3].ok_mean_word_len
+    assert not out[4].ok_symbol_ratio and out[4].n_syms >= 13
+    assert not out[5].ok_alpha_words
+    assert not out[6].ok_stop_words and out[6].n_stop_kinds == 0
+    assert not out[7].ok_bullet_lines and out[7].n_bullet_lines == 10
+    assert not out[8].ok_ellipsis_lines and out[8].n_ellipsis_lines == 10
+    assert not out[9].ok_dup_lines and out[9].n_dup_lines == 8
+
+
+def test_webtext_ingest_strip_composition(spark):
+    """RefinedWeb-shaped composition: near-dup ingest keep → join the
+    extracted text back → exact-substring removal. The license footer
+    shared by two otherwise-unrelated KEPT documents — the case
+    doc-level MinHash can never catch — is stripped from both; the
+    unique document and the unique bodies pass through byte-identical;
+    keep flags are untouched by the strip stage."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators import dedup as dd
+    from hope_graph_builder_spark.operators.extract import extract_text, markup_pages
+    from hope_graph_builder_spark.pipelines.webtext import run_webtext_ingest
+
+    # bodies are APERIODIC (every token globally unique, quality rides
+    # on token count alone) so the only >= k duplicated run among kept
+    # docs is the footer itself; distinct pre-footer endings pin the
+    # span start to the footer's leading space
+    footer = " copyright footer all rights reserved contact legal team now"
+    rich1 = " ".join(f"a{i}q{(i * 3) % 97}" for i in range(100)) + " endone"
+    rich2 = " ".join(f"b{i}r{(i * 5) % 89}" for i in range(100)) + " endtwo"
+    rich3 = " ".join(f"c{i}s{(i * 7) % 83}" for i in range(100))
+    pages = markup_pages(
+        spark.createDataFrame(
+            [
+                (1, "https://a.example/1", rich1 + footer, "en"),
+                (2, "https://a.example/2", rich1 + footer, "en"),  # exact dup of 1
+                (3, "https://b.example/3", rich2 + footer, "en"),
+                (4, "https://c.example/4", rich3, "en"),
+            ],
+            "doc_id long, url string, text string, lang string",
+        )
+    )
+    ing = run_webtext_ingest(pages)
+    kept_ids = sorted(r.doc_id for r in ing.filter("keep").collect())
+    assert kept_ids == [1, 3, 4]  # cluster {1,2} keeps its best member
+    texts = extract_text(pages).select(
+        "doc_id", F.col("extracted_text").alias("text")
+    )
+    raw = {r.doc_id: r.text for r in texts.collect()}
+    kept_docs = texts.join(ing.filter("keep").select("doc_id"), "doc_id")
+    out = {r.doc_id: r for r in dd.strip_dup_spans(kept_docs, k=20).collect()}
+    # the footer — duplicated across kept docs 1 and 3 — is excised
+    assert out[1].text == raw[1].replace(footer, "")
+    assert out[3].text == raw[3].replace(footer, "")
+    assert out[1].n_removed_spans == 1 and out[1].removed_chars == len(footer)
+    # rich1 itself was duplicated only with the DROPPED doc 2, so among
+    # kept docs it is unique and survives; doc 4 is untouched
+    assert out[4].text == raw[4] and out[4].n_removed_spans == 0
+
+
+def test_delta_exact_dedup(spark):
+    """Rolling-ingest dedup closed-form: index hits, within-batch
+    keeper = min id, a doc that is both, row count preserved, and a
+    defensively-deduped non-unique index changes nothing."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators import dedup as dd
+
+    batch = spark.createDataFrame(
+        [(1, "new alpha"), (2, "old one"), (3, "new beta"),
+         (4, "new beta"), (5, "old two"), (6, "old one")],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame(
+        [("old one",), ("old two",)], "t string"
+    ).select(F.md5("t").alias("h"))
+    out = {r.doc_id: r for r in dd.delta_exact_dedup(batch, index).collect()}
+    assert len(out) == 6
+    assert out[1].keep and not out[1].dup_of_index and not out[1].dup_in_batch
+    assert out[2].dup_of_index and not out[2].dup_in_batch and not out[2].keep
+    assert out[3].keep and not out[3].dup_in_batch
+    assert out[4].dup_in_batch and not out[4].dup_of_index and not out[4].keep
+    assert out[5].dup_of_index and not out[5].keep
+    # doc 6: same digest as doc 2 (in-batch, keeper 2) AND in the index
+    assert out[6].dup_of_index and out[6].dup_in_batch and not out[6].keep
+    # non-unique index through the defensive path: identical flags
+    dup_idx = index.union(index)
+    out2 = {r.doc_id: r for r in
+            dd.delta_exact_dedup(batch, dup_idx, index_unique=False).collect()}
+    assert len(out2) == 6
+    assert all(
+        (out2[i].dup_of_index, out2[i].dup_in_batch, out2[i].keep)
+        == (out[i].dup_of_index, out[i].dup_in_batch, out[i].keep)
+        for i in out
+    )
+
+
+def test_vocab_topk_and_bpe_pairs(spark):
+    """Closed-form vocabulary + BPE pair counts: hand-counted corpus,
+    deterministic boundary ties, single-char words contribute no
+    pairs, pair weights follow word frequency."""
+    from hope_graph_builder_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "The the CAT a"), (3, "a b the")],
+        "doc_id long, text string",
+    )
+    v = {r.token: r.cnt for r in textops.vocab_topk(docs, k=10).collect()}
+    assert v == {"the": 4, "cat": 2, "a": 2, "sat": 1, "b": 1}
+    # k=2 boundary: 'the'(4) then tie cnt=2 -> 'a' beats 'cat' lexically
+    top2 = [(r.token, r.cnt) for r in textops.vocab_topk(docs, k=2).collect()]
+    assert sorted(top2) == [("a", 2), ("the", 4)]
+    # pairs: 'the'×4 -> th,he ×4; 'cat'×2 -> ca,at ×2; 'sat' -> sa,at;
+    # 'a'×2 and 'b' single-char -> nothing
+    p = {(r.a, r.b): r.cnt for r in textops.bpe_pair_counts(docs).collect()}
+    assert p == {("t", "h"): 4, ("h", "e"): 4, ("c", "a"): 2,
+                 ("a", "t"): 3, ("s", "a"): 1}
+    import pytest
+    with pytest.raises(ValueError):
+        textops.vocab_topk(docs, k=0)
+
+
+def test_quota_cap(spark):
+    """Two-phase per-group cap == the naive global window in both
+    modes, at several bucket counts (1 degenerates to naive), on a
+    skewed fixture where one group dwarfs the quota; quota >= group
+    size keeps everything; dense 0-based ranks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators import corpus
+    from hope_graph_builder_spark.operators.dedup import hash60
+
+    rows = [(i, "big" if i < 900 else f"g{i % 7}", (i % 13) / 12.0)
+            for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id long, src string, q double")
+
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#q0")))
+    naive_hash = (
+        d.withColumn("_h", h)
+        .withColumn(
+            "grp_rank",
+            (F.row_number().over(
+                Window.partitionBy("src").orderBy("_h", "doc_id")) - 1
+             ).cast("long"),
+        )
+        .filter(F.col("grp_rank") < 10)
+        .drop("_h")
+    )
+    want = sorted(map(tuple, naive_hash.collect()))
+    for nb in (1, 4, 64):
+        got = sorted(map(tuple, corpus.quota_cap(
+            d, quota=10, by="src", salt="q0", n_buckets=nb).collect()))
+        assert got == want, f"hash mode n_buckets={nb}"
+
+    naive_q = (
+        d.withColumn(
+            "grp_rank",
+            (F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("q"), "doc_id")) - 1
+             ).cast("long"),
+        )
+        .filter(F.col("grp_rank") < 3)
+    )
+    want_q = sorted(map(tuple, naive_q.collect()))
+    for nb in (1, 8, 64):
+        got_q = sorted(map(tuple, corpus.quota_cap(
+            d, quota=3, by="src", quality_col="q", n_buckets=nb).collect()))
+        assert got_q == want_q, f"quality mode n_buckets={nb}"
+
+    # quota >= every group size: all rows survive, ranks dense per group
+    all_kept = corpus.quota_cap(d, quota=2000, by="src").collect()
+    assert len(all_kept) == 1000
+    per = {}
+    for r in all_kept:
+        per.setdefault(r.src, []).append(r.grp_rank)
+    assert all(sorted(v) == list(range(len(v))) for v in per.values())
+
+    import pytest
+    with pytest.raises(ValueError):
+        corpus.quota_cap(d, quota=0, by="src")
+
+
 def test_strip_dup_spans(spark):
     """Exact-substring removal: the cleaned text byte-for-byte on a
     closed-form fixture — flanking-space maximal spans excised from

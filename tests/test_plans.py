@@ -268,6 +268,34 @@ def test_dup_substrings_no_cartesian_no_python(spark):
     assert "SinglePartition" not in plan
 
 
+def test_vocab_topk_take_ordered(spark):
+    """vocab_topk's top-k is TakeOrderedAndProject (per-partition
+    local top-k, never a global sort of the vocabulary), counts have
+    map-side partial aggregation, no Python eval."""
+    from hope_graph_builder_spark.operators import text as textops
+
+    d = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    plan = _plan(textops.vocab_topk(d, k=100))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quota_cap_no_python_no_single_partition(spark):
+    """quota_cap's two-phase rank: the only windows are partitioned
+    (per-group offsets, per-(group,bucket) rank) — no SinglePartition
+    window, no Python eval, no cartesian."""
+    from hope_graph_builder_spark.operators import corpus
+
+    d = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    plan = _plan(corpus.quota_cap(d, quota=8, by="source"))
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_strip_dup_spans_no_cartesian_no_python(spark):
     """The removal keeps the audit's plan discipline: no Cartesian/BNLJ
     (the flag join stays shuffle-hash even under AQE), no Python eval

@@ -146,6 +146,68 @@ def test_streaming_interval_join_stream_static(spark, tmp_path):
     assert want.exceptAll(got).count() == 0
 
 
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """The batch sessionize/session_stats boundary rule IS Spark's
+    native streaming session_window: a watermarked session_window
+    aggregation over a file stream reproduces every batch session
+    (n_events, start, end; window.end == ts_end + gap) exactly."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators.temporal import session_stats
+
+    ev = (
+        spark.read.parquet(f"{SF_TINY}/events.parquet")
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    src = str(tmp_path / "ev_stream")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    gap = 30000
+    schema = spark.read.parquet(src).schema
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    # complete mode: no watermark, every session emitted from state at
+    # the end — the file split is out of time order, so an append-mode
+    # watermark would either drop the second file as late (delay 0) or
+    # never finalize the tail sessions (huge delay)
+    q = (
+        s.groupBy("user_id", F.session_window("ts", f"{gap} seconds"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("ts_start"),
+            F.max("ts").alias("ts_end"),
+        )
+        .writeStream.format("memory")
+        .queryName("session_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("session_stream_test").select(
+        "user_id",
+        "n_events",
+        "ts_start",
+        "ts_end",
+        (
+            F.col("session_window.end")
+            - F.make_interval(secs=F.lit(float(gap)))
+        ).alias("window_end_minus_gap"),
+    )
+    want = session_stats(
+        spark.read.parquet(src), gap_seconds=gap
+    ).select(
+        "user_id",
+        "n_events",
+        F.col("ts_start").cast("timestamp").alias("ts_start"),
+        F.col("ts_end").cast("timestamp").alias("ts_end"),
+        F.col("ts_end").cast("timestamp").alias("window_end_minus_gap"),
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_streaming_chunk_tokens_stream_static(spark, tmp_path):
     """corpus.chunk_tokens works UNCHANGED over a streaming documents
     source: tokenize + start-grid explode + slice are all stateless
