@@ -518,6 +518,51 @@ def q_interval_cover(spark, sf_dir):
 
 
 @register(
+    "j_props_parse",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 13 = 0 THEN '{broken' ELSE props END AS props
+      FROM events
+    ),
+    p AS (
+      SELECT event_id, event_type,
+             CASE WHEN json_valid(props)
+                  THEN try_cast(json_extract_string(props, '$.k') AS INT)
+             END AS k
+      FROM e
+    )
+    SELECT event_type,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(count(k) AS BIGINT) AS n_parsed,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM p GROUP BY event_type
+    """,
+)
+def q_props_parse(spark, sf_dir):
+    """Typed semi-structured extraction (operators/web
+    .parse_json_fields): the props JSON bag with every 13th row
+    corrupted — extraction must yield NULL (not crash, even under
+    ANSI mode) and the typed aggregate must replay exactly, n_parsed
+    counting only well-formed rows."""
+    from hope_graph_builder_spark.operators.web import parse_json_fields
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit("{broken"))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    p = parse_json_fields(e, "props", {"k": "int"})
+    return p.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("sum_k"),
+        F.count("k").cast("long").alias("n_parsed"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+@register(
     "j_sessionize",
     """
     WITH e AS (

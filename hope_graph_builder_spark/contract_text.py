@@ -1566,6 +1566,142 @@ def q_shard_shuffle(spark, sf_dir):
 
 
 @register(
+    "c_corpus_curation",
+    """
+    WITH d AS (SELECT doc_id, source, text FROM documents),
+    lt AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS ltoks,
+             string_split(text, chr(10)) AS lines,
+             text AS t
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id,
+        CAST(len(ltoks) AS INT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(ltoks, x -> length(x))), 0)
+             AS BIGINT) AS sum_word_chars,
+        CAST(len(list_filter(ltoks, x -> regexp_matches(x, '[a-z]')))
+             AS INT) AS n_alpha_words,
+        CAST((length(t) - length(replace(t, '#', '')))
+             + (length(t) - length(replace(t, '...', ''))) // 3
+             AS INT) AS n_syms,
+        CAST(len(lines) AS INT) AS n_lines,
+        CAST(len(list_filter(lines,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS INT)
+             AS n_bullet_lines,
+        CAST(len(list_filter(lines,
+               l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS INT)
+             AS n_ellipsis_lines,
+        CAST(len(lines) - len(list_distinct(lines)) AS INT) AS n_dup_lines
+      FROM lt
+    ),
+    gate AS (
+      SELECT doc_id FROM g
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND n_words > 0 AND sum_word_chars >= 3 * n_words
+                        AND sum_word_chars <= 10 * n_words
+        AND n_syms * 10 <= n_words
+        AND n_alpha_words * 5 >= n_words * 4
+        AND n_bullet_lines * 10 <= n_lines * 9
+        AND n_ellipsis_lines * 10 <= n_lines * 3
+        AND n_dup_lines * 10 <= n_lines * 3
+    ),
+    q AS (
+      SELECT doc_id,
+        round_even(
+          0.4 * least(1.0, CAST(len({{_SQL_TOKENS}}) AS DOUBLE) / 100.0)
+          + 0.3 * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+              THEN CAST({{OCC_DOT}} + {{OCC_COMMA}} + {{OCC_BANG}} AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 10.0)
+          + 0.3 * least(1.0, (CASE WHEN len({{_SQL_TOKENS}}) > 0
+              THEN CAST({{MARKER_EN}} AS DOUBLE)
+                   / CAST(len({{_SQL_TOKENS}}) AS DOUBLE)
+              ELSE 0.0 END) * 8.0), 6) AS quality,
+        CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    kept AS (
+      SELECT x.doc_id, x.text, q.quality, q.n_tokens FROM (
+        SELECT d.doc_id, d.text,
+               row_number() OVER (PARTITION BY d.source ORDER BY
+                 CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#cur0'),
+                       1, 15)) AS BIGINT),
+                 d.doc_id) - 1 AS r
+        FROM d JOIN gate USING (doc_id)
+      ) x JOIN q ON x.doc_id = q.doc_id
+      WHERE x.r < 8
+    ),
+    packed AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM kept) z
+      WHERE cum <= 6000
+    ),
+    tk AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM packed
+    ),
+    ch AS (
+      SELECT doc_id, toks, unnest(list_filter(
+        CASE WHEN len(toks) > 0 THEN range(0, len(toks), 24) ELSE [] END,
+        s -> s = 0 OR s + 8 < len(toks))) AS s
+      FROM tk
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s // 24 AS BIGINT) AS chunk_id,
+             CAST(len(list_slice(toks, s + 1, s + 32)) AS BIGINT) AS n_tokens,
+             array_to_string(list_slice(toks, s + 1, s + 32), ' ')
+               AS chunk_text,
+             doc_id * 1048576 + CAST(s // 24 AS BIGINT) AS uid
+      FROM ch
+    ),
+    sh AS (
+      SELECT *, CAST(('0x' || substr(md5(CAST(uid AS VARCHAR) || '#cur0'),
+                      1, 15)) AS BIGINT) AS h
+      FROM chunks
+    )
+    SELECT CAST(h % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, uid) - 1
+                AS BIGINT) AS pos,
+           doc_id, chunk_id, n_tokens, chunk_text
+    FROM sh
+    """.replace("{{_SQL_TOKENS}}", _SQL_TOKENS)
+       .replace("{{OCC_DOT}}", _sql_occ("text", "."))
+       .replace("{{OCC_COMMA}}", _sql_occ("text", ","))
+       .replace("{{OCC_BANG}}", _sql_occ("text", "!"))
+       .replace("{{MARKER_EN}}", _sql_marker("en")),
+)
+def q_corpus_curation(spark, sf_dir):
+    """The COMPOSED curation pipeline (pipelines/curation
+    .run_corpus_curation): Gopher gate (7 rules — the English-stopword
+    rule dropped, this corpus has none) → per-source quota 8 in salted
+    hash order → quality-first 6000-token budget → 32/8 chunking →
+    8-shard deterministic shuffle. The oracle replays EVERY stage with
+    naive single-window forms and compares the final training stream —
+    shard, position, chunk bytes — row for row; a drift anywhere in
+    the five-stage chain (gate arithmetic, rank decomposition, prefix
+    sum, chunk grid, shard permutation) lands here."""
+    from hope_graph_builder_spark.pipelines.curation import run_corpus_curation
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return run_corpus_curation(
+        d, quota_per_source=8, token_budget=6000, seq_len=32, overlap=8,
+        n_shards=8, salt="cur0",
+        gate_cols=[
+            "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+            "ok_alpha_words", "ok_bullet_lines", "ok_ellipsis_lines",
+            "ok_dup_lines",
+        ],
+    )
+
+
+@register(
     "t_gopher_flags",
     """
     WITH d AS (

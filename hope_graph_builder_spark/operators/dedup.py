@@ -744,3 +744,34 @@ def delta_exact_dedup(
             ),
         )
     )
+
+
+def lsh_params(threshold: float, k: int = NUM_HASHES) -> tuple[int, int]:
+    """Pick the (bands, rows) split of a ``k``-hash MinHash signature
+    whose S-curve ``P(candidate) = 1 − (1 − s^rows)^bands`` best
+    matches a Jaccard ``threshold``: among the divisors of ``k``,
+    minimize the integrated error (false-positive area below the
+    threshold + false-negative area above it, the standard MMDS
+    criterion, evaluated on a fixed similarity grid — deterministic,
+    no RNG). Returns ``(bands, rows)`` with ``bands·rows == k``;
+    feed ``bands`` to minhash_band_buckets. Driver-side arithmetic on
+    two ints — never touches data."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grid = [i / 200.0 for i in range(1, 200)]
+    best = None
+    for rows in range(1, k + 1):
+        if k % rows:
+            continue
+        bands = k // rows
+        err = sum(
+            (1.0 - (1.0 - s**rows) ** bands) if s < threshold
+            else (1.0 - s**rows) ** bands
+            for s in grid
+        )
+        cand = (err, -rows)  # tie → more rows (fewer false positives)
+        if best is None or cand < best:
+            best, best_rows = cand, rows
+    return k // best_rows, best_rows

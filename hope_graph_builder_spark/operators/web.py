@@ -234,3 +234,33 @@ def host_boilerplate_strip(
             (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def parse_json_fields(
+    df: DataFrame,
+    json_col: str,
+    fields: dict[str, str],
+    prefix: str = "",
+) -> DataFrame:
+    """Typed extraction from a semi-structured JSON string column (the
+    ``props`` bag every event/crawl table carries): for each
+    ``field → sql_type``, adds ``prefix + field`` =
+    ``get_json_object($.field)`` TRY-cast to the type (NULL on a
+    missing key, malformed JSON or uncastable value — the tolerant
+    path even under ANSI mode; schema enforcement belongs in a
+    quarantine filter on the NULLs, not in a crash).
+    Nested paths work via dotted field names ('a.b' → '$.a.b').
+
+    Scale shape: a pure map stage in codegen — the JSON is parsed per
+    referenced field, no UDF, no schema inference scan; pushes through
+    any upstream filter. For many fields from huge JSON prefer
+    ``from_json`` with an explicit struct schema (one parse per row);
+    per-field extraction wins below ~5 fields and keeps the output
+    schema explicit either way."""
+    out = df
+    for name, typ in fields.items():
+        out = out.withColumn(
+            (prefix + name).replace(".", "_"),
+            F.get_json_object(F.col(json_col), f"$.{name}").try_cast(typ),
+        )
+    return out

@@ -1,0 +1,100 @@
+"""Composed corpus-curation pipeline — the selection chain between a
+deduplicated web corpus and a training run, built entirely from the
+repo's oracle-verified curation operators:
+
+  documents(doc_id, source, text)
+    → Gopher rule battery gate          (operators/text.gopher_flags)
+    → per-source quota cap              (operators/corpus.quota_cap)
+    → quality-first token-budget pack   (operators/corpus.pack_token_budget)
+    → training-sequence chunking        (operators/corpus.chunk_tokens)
+    → deterministic shuffle + sharding  (operators/corpus.shard_shuffle)
+
+Every stage is deterministic (hash order, total-order tie-breaks, no
+rand()), so the emitted shard files are byte-reproducible across
+runs/retries — the corpus-lineage property the individual operators
+were built for, demonstrated end to end.
+
+Scale shape: two map scans over the corpus (signals + gopher battery),
+one id-equi join to apply the gate, then the operators' own exchanges —
+quota_cap's bucketed rank (giant-source sort never materializes),
+pack's two-phase prefix sum (no global-order window), chunking as a
+pure map stage, and the shard writer's own hash layout. Everything
+downstream of the gate runs on the (much smaller) kept set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark.operators import text as textops
+from hope_graph_builder_spark.operators.corpus import (
+    chunk_tokens,
+    pack_token_budget,
+    quota_cap,
+    shard_shuffle,
+)
+
+_CHUNK_UID_SHIFT = 20  # chunk_id rides the low 20 bits of the chunk uid
+
+
+def run_corpus_curation(
+    docs: DataFrame,
+    quota_per_source: int = 1000,
+    token_budget: int = 100_000_000,
+    seq_len: int = 128,
+    overlap: int = 16,
+    n_shards: int = 64,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "cur0",
+    gate_cols: list[str] | None = None,
+) -> DataFrame:
+    """→ one row per TRAINING SEQUENCE: ``(shard, pos, doc_id,
+    chunk_id, n_tokens, chunk_text)`` — reading shards in (shard, pos)
+    order is the reproducible training stream.
+
+    ``gate_cols`` selects which gopher_flags rules gate admission
+    (default ``["gopher_pass"]`` = all eight); a multilingual corpus
+    drops ``ok_stop_words`` (the English-stopword rule), the standard
+    adaptation. Document selection inside the budget is quality-first
+    (quality_score desc, id) after a per-``by`` quota cap in salted-
+    hash order — one domain cannot dominate, and the budget fills with
+    the best of what remains. Chunk uids pack ``doc_id`` above 20 bits
+    of ``chunk_id`` (raises nothing here: a chunk_id ≥ 2^20 would need
+    a single document of ≥ 2^20·stride tokens — split such documents
+    upstream)."""
+    gate_cols = gate_cols or ["gopher_pass"]
+    t = F.col(text_col)
+    sig = textops.gopher_flags(docs, text_col=text_col, id_col=id_col)
+    gate = None
+    for c in gate_cols:
+        gate = F.col(c) if gate is None else gate & F.col(c)
+    meta = docs.select(
+        F.col(id_col),
+        F.col(by),
+        t.alias(text_col),
+        F.bround(textops.quality_score(t), 6).alias("quality"),
+        textops.token_count(t).cast("long").alias("n_tokens"),
+    )
+    gated = meta.join(sig.filter(gate).select(id_col), id_col)
+    capped = quota_cap(
+        gated, quota_per_source, by=by, id_col=id_col, salt=salt
+    )
+    packed = pack_token_budget(
+        capped, token_budget, tokens_col="n_tokens", quality_col="quality",
+        id_col=id_col,
+    )
+    chunks = chunk_tokens(
+        packed.select(id_col, text_col), seq_len, overlap,
+        text_col=text_col, id_col=id_col,
+    ).withColumn(
+        "chunk_uid",
+        (F.col(id_col) * F.lit(1 << _CHUNK_UID_SHIFT) + F.col("chunk_id")).cast(
+            "long"
+        ),
+    )
+    return shard_shuffle(
+        chunks, n_shards, salt=salt, id_col="chunk_uid"
+    ).select("shard", "pos", id_col, "chunk_id", "n_tokens", "chunk_text")

@@ -917,6 +917,108 @@ def test_dup_substring_spans(spark):
     )
 
 
+def test_lsh_params():
+    """S-curve band picker: bands·rows == k always; monotone — higher
+    thresholds never pick fewer rows (sharper curves sit further
+    right); the 50%-candidate point (1/b)^(1/r) lands near the
+    threshold for large k; invalid args raise."""
+    import pytest
+
+    from hope_graph_builder_spark.operators.dedup import lsh_params
+
+    prev_rows = 0
+    for t in (0.2, 0.35, 0.5, 0.65, 0.8, 0.95):
+        b, r = lsh_params(t, 128)
+        assert b * r == 128
+        assert r >= prev_rows
+        prev_rows = r
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.2, (t, b, r, mid)
+    assert lsh_params(0.5, 16)[0] * lsh_params(0.5, 16)[1] == 16
+    with pytest.raises(ValueError):
+        lsh_params(1.5, 16)
+    with pytest.raises(ValueError):
+        lsh_params(0.5, 0)
+
+
+def test_parse_json_fields(spark):
+    """Typed JSON extraction tolerance: missing key, malformed JSON
+    and uncastable values all yield NULL (ANSI-safe try_cast); nested
+    dotted paths resolve; present values come back typed."""
+    from hope_graph_builder_spark.operators.web import parse_json_fields
+
+    d = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "s": "x", "a": {"b": 2.5}}'),
+            (2, '{"s": "y"}'),             # k missing
+            (3, '{"k": "notanint"}'),      # uncastable
+            (4, '{broken'),                # malformed
+            (5, None),                     # null bag
+        ],
+        "id long, props string",
+    )
+    out = {r.id: r for r in parse_json_fields(
+        d, "props", {"k": "int", "s": "string", "a.b": "double"}
+    ).collect()}
+    assert out[1].k == 7 and out[1].s == "x" and out[1].a_b == 2.5
+    assert out[2].k is None and out[2].s == "y"
+    assert out[3].k is None
+    assert out[4].k is None and out[4].s is None
+    assert out[5].k is None
+
+
+def test_run_corpus_curation(spark):
+    """Composed curation chain: deterministic across reruns, dense
+    per-shard positions, every emitted doc passes the gate, and a salt
+    change re-permutes the stream without changing the chunk set
+    (cap/shard both re-keyed) only when the quota doesn't bind —
+    here it does, so we assert the weaker contract: same pipeline,
+    same salt → byte-identical output."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators import text as textops
+    from hope_graph_builder_spark.pipelines.curation import run_corpus_curation
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    gate_cols = [
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_alpha_words", "ok_bullet_lines", "ok_ellipsis_lines",
+        "ok_dup_lines",
+    ]
+    kw = dict(quota_per_source=4, token_budget=2000, seq_len=16,
+              overlap=4, n_shards=4, gate_cols=gate_cols)
+    a = sorted(map(tuple, run_corpus_curation(docs, **kw).collect()))
+    b = sorted(map(tuple, run_corpus_curation(docs, **kw).collect()))
+    assert a == b and len(a) > 0
+    # dense 0-based positions within every shard; shard in range
+    per = {}
+    for shard, pos, *_ in a:
+        assert 0 <= shard < 4
+        per.setdefault(shard, []).append(pos)
+    assert all(sorted(v) == list(range(len(v))) for v in per.values())
+    # every emitted doc passes the gate
+    emitted = {r[2] for r in a}
+    flags = {
+        r.doc_id: all(r[c] for c in gate_cols)
+        for r in textops.gopher_flags(docs).collect()
+    }
+    assert all(flags[d] for d in emitted)
+    # chunks of one doc reconstruct a prefix-consistent token stream:
+    # chunk k starts at stride*k, so overlapping regions agree
+    rows1 = sorted((r for r in a if r[2] == next(iter(emitted))),
+                   key=lambda r: r[3])
+    toks = []
+    for _, _, _, chunk_id, n_tokens, chunk_text in rows1:
+        ct = chunk_text.split(" ")
+        assert len(ct) == n_tokens
+        start = 12 * chunk_id  # stride = 16 - 4
+        assert toks[start:start + len(ct)] == ct[: max(0, len(toks) - start)]
+        toks[start:start + len(ct)] = ct
+    assert len(toks) > 0
+
+
 def test_sessionize(spark):
     """Closed-form session boundaries: gap >= threshold opens a new
     session (the session_window rule — an event exactly at the closed

@@ -268,6 +268,27 @@ def test_dup_substrings_no_cartesian_no_python(spark):
     assert "SinglePartition" not in plan
 
 
+def test_corpus_curation_plan(spark):
+    """The composed curation chain stays native: no Python eval, no
+    cartesian/BNLJ anywhere in the five-stage plan. (The one
+    unpartitioned window is pack_token_budget's bucket-offset pass
+    over <= n_buckets rows — bounded by the bucket count, documented
+    there.)"""
+    from hope_graph_builder_spark.pipelines.curation import run_corpus_curation
+
+    d = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    plan = _plan(run_corpus_curation(
+        d, quota_per_source=4, token_budget=2000, seq_len=16, overlap=4,
+        n_shards=4,
+        gate_cols=["ok_word_count", "ok_mean_word_len"],
+    ))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_vocab_topk_take_ordered(spark):
     """vocab_topk's top-k is TakeOrderedAndProject (per-partition
     local top-k, never a global sort of the vocabulary), counts have
