@@ -2225,6 +2225,85 @@ _SQL_EMB_D = "list_transform({v}, x -> CAST(x AS DOUBLE))"
 
 
 @register(
+    "e_ann_recall",
+    f"""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 29 = 0),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_sql_cos('q.embedding', 'c.embedding')} DESC,
+                          c.vec_id) AS rnk
+        FROM c, q WHERE q.vec_id != c.vec_id
+      ) z WHERE rnk <= 5
+    ),
+    cen AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+             embedding AS cen
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) y
+    ),
+    assigned AS (
+      SELECT cand_id, cv, list_id FROM (
+        SELECT c.vec_id AS cand_id, c.embedding AS cv, cen.list_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_sql_cos('c.embedding', 'cen.cen')} DESC,
+                          cen.list_id) AS arnk
+        FROM c, cen
+      ) z WHERE arnk = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, cen.list_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_cos('q.embedding', 'cen.cen')} DESC,
+                          cen.list_id) AS qrnk
+        FROM q, cen
+      ) z WHERE qrnk <= 2
+    ),
+    approx AS (
+      SELECT query_id, cand_id FROM (
+        SELECT p.query_id, a.cand_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_sql_cos('p.qv', 'a.cv')} DESC, a.cand_id) AS rnk
+        FROM assigned a JOIN probes p USING (list_id)
+        WHERE p.query_id != a.cand_id
+      ) z WHERE rnk <= 5
+    ),
+    per AS (
+      SELECT e.query_id, count(*) AS n, count(ap.cand_id) AS h
+      FROM exact e LEFT JOIN approx ap
+        ON e.query_id = ap.query_id AND e.cand_id = ap.cand_id
+      GROUP BY e.query_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n) AS BIGINT) AS n_exact,
+           CAST(sum(h) AS BIGINT) AS n_hits,
+           CAST(sum(h) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS micro_recall
+    FROM per
+    """,
+)
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF ANN path against exact brute force
+    (similarity.ann_recall) — the measurement that tunes nprobe. The
+    oracle replays BOTH retrievals (identical fold-order cosines) and
+    the per-query hit counting; micro_recall is one division of two
+    exact integer sums, so the number is engine-exact (macro, a float
+    mean, is deliberately left out of the hash)."""
+    from hope_graph_builder_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 29 == 0)
+    approx = similarity.ivf_topk(emb, qs, k=5, nlist=8, nprobe=2)
+    exact = similarity.cosine_topk(emb, qs, k=5)
+    return similarity.ann_recall(approx, exact).select(
+        "n_queries", "n_exact", "n_hits", "micro_recall"
+    )
+
+
+@register(
     "e_embed_neardup",
     f"""
     WITH base AS (SELECT vec_id, {_SQL_EMB_D.format(v='embedding')} AS v FROM embeddings),

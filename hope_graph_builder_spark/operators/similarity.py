@@ -397,3 +397,50 @@ def embedding_neardup(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the measurement that turns "nprobe=2 seems fine" into a number you
+    tune against. Both inputs are (query_id, cand_id[, rank]) tables
+    (the shape cosine_topk / ivf_topk / lsh_topk emit); ``k`` trims
+    both sides to their top-k by ``rank`` when present. Returns ONE
+    row: (n_queries, n_exact, n_hits, macro_recall, micro_recall) —
+    macro = mean of per-query |A∩E|/|E| (every query weighted equally,
+    the number ANN papers quote; a float mean — order-dependent in the
+    last ulp, bround'ed), micro = Σhits/Σexact computed as ONE division
+    of two exact integer sums (engine-exact; when every query has
+    exactly k exact neighbors, macro == micro analytically). Exact-side queries
+    with no approximate hits count as recall 0 (a probe miss is a
+    miss, not a dropped row).
+
+    Scale shape: one equi-join on (query_id, cand_id) + two
+    aggregations with map-side combine; both inputs are top-k tables
+    (n_queries·k rows), not corpora."""
+    a = approx.select("query_id", "cand_id")
+    e = exact.select("query_id", "cand_id")
+    if k is not None:
+        a = approx.filter(F.col("rank") <= k).select("query_id", "cand_id")
+        e = exact.filter(F.col("rank") <= k).select("query_id", "cand_id")
+    hit = a.withColumn("_hit", F.lit(1))
+    per = (
+        e.join(hit, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count("_hit").alias("_h"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("_n").cast("long").alias("n_exact"),
+        F.sum("_h").cast("long").alias("n_hits"),
+        F.bround(F.avg(F.col("_h") / F.col("_n")), 6).alias("macro_recall"),
+        (F.sum("_h").cast("double") / F.sum("_n").cast("double")).alias(
+            "micro_recall"
+        ),
+    )

@@ -917,6 +917,141 @@ def test_dup_substring_spans(spark):
     )
 
 
+def test_strip_dup_spans_random_brute_force(spark):
+    """Randomized cross-check (seeded, one Spark job): 80 short
+    strings over a 2-letter alphabet — dense window collisions,
+    heavy island merging, spans at every boundary — against an
+    independent brute-force Python implementation of flag → island →
+    excise, for both the audit stats and the cleaned bytes."""
+    import random
+    from collections import Counter
+
+    from hope_graph_builder_spark.operators import dedup as dd
+
+    rng = random.Random(7)
+    k = 5
+    texts = {
+        i: "".join(rng.choice("ab") for _ in range(rng.randint(0, 40)))
+        for i in range(80)
+    }
+
+    cnt = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            cnt[t[i:i + k]] += 1
+    want = {}
+    for d, t in texts.items():
+        flagged = [i for i in range(len(t) - k + 1) if cnt[t[i:i + k]] > 1]
+        spans = []
+        for p in flagged:
+            if spans and p <= spans[-1][1] + k:  # operator: new iff pos > lag + k
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        spans = [(s, e + k - 1) for s, e in spans]
+        clean, prev = [], 0
+        for s, e in spans:
+            clean.append(t[prev:s])
+            prev = e + 1
+        clean.append(t[prev:])
+        want[d] = ("".join(clean), len(spans), sum(e - s + 1 for s, e in spans))
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in dd.strip_dup_spans(docs, k=k).collect()}
+    assert len(got) == len(texts)
+    for d in texts:
+        assert (got[d].text, got[d].n_removed_spans, got[d].removed_chars) \
+            == want[d], (d, texts[d])
+    audit = {r.doc_id: r for r in dd.dup_substring_spans(docs, k=k).collect()}
+    for d in texts:
+        assert (audit[d].n_spans, audit[d].dup_chars) == want[d][1:], d
+
+
+def test_chunk_tokens_random_brute_force(spark):
+    """Randomized cross-check: chunk grids over random whitespace-laden
+    texts vs an independent Python slicer, for three (seq_len,
+    overlap) shapes in one job each."""
+    import random
+
+    from hope_graph_builder_spark.operators import corpus
+
+    rng = random.Random(11)
+    texts = {
+        i: " ".join(
+            "".join(rng.choice("xyz") for _ in range(rng.randint(1, 4)))
+            for _ in range(rng.randint(0, 30))
+        ) + rng.choice(["", " ", "  "])
+        for i in range(60)
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    for seq_len, overlap in ((4, 0), (5, 2), (7, 6)):
+        stride = seq_len - overlap
+        want = {}
+        for d, t in texts.items():
+            toks = [w for w in t.split(" ") if w]
+            chunks = []
+            for ci, s in enumerate(range(0, len(toks), stride)):
+                if s != 0 and s + overlap >= len(toks):
+                    continue
+                c = toks[s:s + seq_len]
+                chunks.append((ci, len(c), " ".join(c)))
+            want[d] = chunks
+        got = {}
+        for r in corpus.chunk_tokens(docs, seq_len, overlap).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.n_tokens, r.chunk_text)
+            )
+        for d in texts:
+            assert sorted(got.get(d, [])) == want[d], (seq_len, overlap, d)
+
+
+def test_ann_recall(spark):
+    """Recall harness closed-form: per-query hit counting, a query the
+    approximate index misses entirely counts as 0 (not dropped),
+    macro vs micro disagree exactly as hand-computed, k trims by
+    rank."""
+    from hope_graph_builder_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id long, cand_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2), (1, 99, 3), (1, 13, 4)],
+        "query_id long, cand_id long, rank int",
+    )
+    r = ann_recall(approx, exact).collect()[0]
+    # q1: 3 of 4 hit; q2: no approx rows at all -> 0 of 2
+    assert (r.n_queries, r.n_exact, r.n_hits) == (2, 6, 3)
+    assert r.micro_recall == 0.5
+    assert abs(r.macro_recall - (0.75 + 0.0) / 2) < 1e-9
+    # k=2: exact trims to {10,11}/{20,21}, approx to {10,12}
+    r2 = ann_recall(approx, exact, k=2).collect()[0]
+    assert (r2.n_exact, r2.n_hits) == (4, 1)
+
+
+def test_ivf_recall_monotone_and_complete(spark):
+    """IVF recall@5 measured against brute force: monotone
+    non-decreasing in nprobe, and probing EVERY list (nprobe == nlist)
+    is exhaustive search — recall exactly 1.0. Pins both the recall
+    harness and the IVF routing."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 29 == 0)
+    exact = similarity.cosine_topk(emb, qs, k=5)
+    prev = -1.0
+    for nprobe in (1, 2, 8):
+        a = similarity.ivf_topk(emb, qs, k=5, nlist=8, nprobe=nprobe)
+        r = similarity.ann_recall(a, exact).collect()[0]
+        assert r.micro_recall >= prev
+        prev = r.micro_recall
+    assert prev == 1.0  # nprobe == nlist probes everything
+
+
 def test_lsh_params():
     """S-curve band picker: bands·rows == k always; monotone — higher
     thresholds never pick fewer rows (sharper curves sit further
