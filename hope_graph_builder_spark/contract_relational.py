@@ -518,6 +518,75 @@ def q_interval_cover(spark, sf_dir):
 
 
 @register(
+    "j_sample_join",
+    """
+    WITH a AS (SELECT event_id AS a_id, user_id AS k FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT event_id AS b_id, user_id AS k FROM events
+          WHERE event_type = 'view'),
+    ca AS (SELECT k, count(*) AS ca FROM a GROUP BY k),
+    cb AS (SELECT k, count(*) AS cb FROM b GROUP BY k),
+    keys AS (
+      SELECT ca.k, ca.ca, cb.cb, ca.ca * cb.cb AS p,
+             CAST(('0x' || substr(md5(CAST(ca.k AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS kb
+      FROM ca JOIN cb USING (k)
+    ),
+    offs AS (
+      SELECT *, coalesce(sum(p) OVER (ORDER BY kb, k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM keys
+    ),
+    tot AS (SELECT sum(p) AS pt FROM keys),
+    idx AS (
+      SELECT (j * (pt // 100) + (j * (pt % 100)) // 100)
+             + CAST(('0x' || substr(md5('js0#' || CAST(j AS VARCHAR)), 1, 15))
+                    AS BIGINT)
+               % (((j + 1) * (pt // 100) + ((j + 1) * (pt % 100)) // 100)
+                  - (j * (pt // 100) + (j * (pt % 100)) // 100)) AS pos
+      FROM generate_series(0, 99) AS t(j), tot
+    ),
+    hit AS (
+      SELECT idx.pos, o.k,
+             (idx.pos - o.off) // o.cb AS ia,
+             (idx.pos - o.off) % o.cb AS ib
+      FROM idx JOIN offs o ON idx.pos >= o.off AND idx.pos < o.off + o.p
+    ),
+    ra AS (SELECT k, a_id,
+                  row_number() OVER (PARTITION BY k ORDER BY a_id) - 1 AS ia
+           FROM a),
+    rb AS (SELECT k, b_id,
+                  row_number() OVER (PARTITION BY k ORDER BY b_id) - 1 AS ib
+           FROM b)
+    SELECT CAST(hit.pos AS BIGINT) AS idx, hit.k AS user_id, ra.a_id, rb.b_id
+    FROM hit
+    JOIN ra ON hit.k = ra.k AND hit.ia = ra.ia
+    JOIN rb ON hit.k = rb.k AND hit.ib = rb.ib
+    """,
+)
+def q_sample_join(spark, sf_dir):
+    """Uniform sampling over a join WITHOUT materializing it
+    (operators/join_sample.join_uniform_sample, the
+    sampling-over-joins line): 100 systematic-stratified pairs from
+    the click×view per-user join. The oracle replays the whole
+    bijection — pair counts, bucket-major key offsets, overflow-safe
+    stratum indices, grid inversion and the row-rank lookups — so
+    every sampled (idx, key, a, b) must match exactly."""
+    from hope_graph_builder_spark.operators.join_sample import (
+        join_uniform_sample,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), "user_id"
+    )
+    b = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("b_id"), "user_id"
+    )
+    return join_uniform_sample(a, b, "user_id", 100, "a_id", "b_id", salt="js0")
+
+
+@register(
     "j_props_parse",
     """
     WITH e AS (

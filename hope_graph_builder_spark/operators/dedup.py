@@ -726,7 +726,14 @@ def delta_exact_dedup(
     re-scanned from the historical corpus: this is the O(batch + index
     lookup) path that makes rolling ingestion linear instead of
     re-deduping the full corpus every crawl."""
-    d = batch.withColumn("_h", F.md5(F.col(text_col)))
+    # NULL text gets a sentinel digest (not hex, so it can never
+    # collide with a real md5): NULL-text rows dedupe among themselves
+    # and are PRESERVED in the output — a plain md5(NULL)=NULL key
+    # would silently drop them at the keeper join.
+    d = batch.withColumn(
+        "_h",
+        F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__")),
+    )
     idx = index.select(F.col("h").alias("_h"))
     if not index_unique:
         idx = idx.distinct()

@@ -1,0 +1,188 @@
+"""Uniform sampling over a join WITHOUT materializing the join —
+the sampling-over-joins line of work (SIGMOD'23/'24 "Sampling over
+Union of Joins" / "Reservoir Sampling over Joins", ICDE'25 spatial
+range-join sampling): at 100 TB a skewed equi-join can have 10¹²+
+result pairs, and "join then .sample()" pays for every one of them.
+This operator samples k pairs paying only counts + k lookups.
+
+Idea (exact, declarative): the join result per key is a ca×cb grid,
+so every pair has a GLOBAL INDEX under the bijection
+  pair_index = key_offset + ia * cb + ib,
+where key_offset is the prefix sum of ca·cb over keys. Sampling k
+pairs = choosing k indices in [0, P) and inverting the bijection
+with integer arithmetic — never enumerating the other P − k pairs.
+
+Index choice is SYSTEMATIC-STRATIFIED and deterministic (repo
+convention — no rand()): stratum j = [⌊jP/k⌋, ⌊(j+1)P/k⌋), one index
+per stratum at a salted-hash offset. Every pair is picked with
+probability ≈ k/P (exactly one pick per stratum; change ``salt`` for
+an independent sample; rerun/retry/engine reproducible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hope_graph_builder_spark.operators.dedup import hash60
+
+
+def join_uniform_sample(
+    a: DataFrame,
+    b: DataFrame,
+    on: str,
+    k: int,
+    id_a: str,
+    id_b: str,
+    salt: str = "js0",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """k pairs sampled uniformly (systematic-stratified, deterministic
+    by ``salt``) from the equi-join ``a ⋈ b ON on`` — WITHOUT
+    materializing the join. Output: ``(idx, on, id_a, id_b)``, one row
+    per sampled pair, ``idx`` the global pair index (sorted output =
+    the reproducible sample order). If the join has ≤ k pairs the full
+    join is returned (idx still assigned).
+
+    Cost shape: two map-side-combined counts, one tiny bucket-offset
+    window (≤ ``n_buckets`` rows; per-key offsets bucket-decomposed —
+    no unpartitioned window over the key table), ONE aggregate action
+    for the total pair count P, then k broadcast range-probes and two
+    (key, rank) equi-joins against the ≤ k sampled keys (both sides
+    pre-filtered by a broadcast semi-join before their rank windows —
+    the corpus is never globally sorted). ``ca·cb`` per key and P ride
+    64-bit ints: fine to ~9·10¹⁸ pairs.
+
+    The key column must be a scalar (string/int) — it is hashed for
+    bucket placement and ordered for the offset prefix (any total
+    order works; the ORDER defines the bijection, not the
+    distribution)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = a.sparkSession
+    ca = a.groupBy(on).agg(F.count(F.lit(1)).alias("_ca"))
+    cb = b.groupBy(on).agg(F.count(F.lit(1)).alias("_cb"))
+    keys = (
+        ca.join(cb, on)
+        .withColumn("_p", (F.col("_ca") * F.col("_cb")).cast("long"))
+        .withColumn(
+            "_kb",
+            F.pmod(hash60(F.col(on).cast("string")), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    boff = (
+        keys.groupBy("_kb")
+        .agg(F.sum("_p").alias("_bp"))
+        .withColumn(
+            "_boff",
+            F.coalesce(
+                F.sum("_bp").over(
+                    Window.orderBy("_kb").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("_kb", "_boff")
+    )
+    keys = (
+        keys.join(F.broadcast(boff), "_kb")
+        .withColumn(
+            "_woff",
+            F.coalesce(
+                F.sum("_p").over(
+                    Window.partitionBy("_kb")
+                    .orderBy(on)
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_off", F.col("_boff") + F.col("_woff"))
+        .select(on, "_kb", "_ca", "_cb", "_p", "_off")
+    )
+    total = int(keys.agg(F.sum("_p")).collect()[0][0] or 0)  # the ONE action
+
+    if total <= k:
+        # tiny result: the full join IS the sample
+        full = a.select(on, F.col(id_a)).join(b.select(on, F.col(id_b)), on)
+        w = Window.orderBy(on, id_a, id_b)
+        return full.withColumn("idx", (F.row_number().over(w) - 1).cast("long")) \
+                   .select("idx", on, id_a, id_b)
+
+    # stratum bounds floor(j·P/k) in overflow-safe integer form:
+    # j·P overflows a long for P near 2^63, but with P = q·k + r,
+    # floor(jP/k) = j·q + (j·r) div k and j·r < k² stays in range
+    # for any practical k
+    q, r = total // k, total % k
+    j = F.col("id")
+    lo = (j * q + F.expr(f"(id * {r}) div {k}")).cast("long")
+    hi = ((j + 1) * q + F.expr(f"((id + 1) * {r}) div {k}")).cast("long")
+    idx = spark.range(k).select(
+        (
+            lo
+            + F.pmod(
+                hash60(F.concat(F.lit(salt + "#"), j.cast("string"))), hi - lo
+            )
+        ).alias("_pos")
+    )
+
+    # bucket-assign each index via the tiny collected offsets table
+    # (n_buckets rows — deliberate), then find its containing key with
+    # the as-of machinery: latest key offset <= index, per bucket —
+    # a partitioned sort, never a nested-loop probe over the key table
+    bspans = sorted(
+        (int(row["_boff"]), row["_kb"]) for row in boff.collect()
+    )
+    kb_expr = None
+    for off, kb in reversed(bspans):  # largest offset FIRST: the
+        cond = F.col("_pos") >= F.lit(off)  # chained when()s test in
+        kb_expr = (                         # order, first match wins
+            F.when(cond, F.lit(kb))
+            if kb_expr is None
+            else kb_expr.when(cond, F.lit(kb))
+        )
+    from hope_graph_builder_spark.operators.temporal import asof_join
+
+    probes = asof_join(
+        idx.withColumn("_kb", kb_expr.cast("int")),
+        keys.select(
+            "_kb", F.col("_off").alias("_pos"), on, "_cb", "_off"
+        ),
+        by="_kb",
+        ts="_pos",
+        payload=[on, "_cb", "_off"],
+        prefix="s_",
+    )
+    hits = probes.select(
+        F.col("_pos").alias("idx"),
+        F.col(f"s_{on}").alias(on),
+        F.expr("(_pos - `s__off`) div `s__cb`").cast("long").alias("_ia"),
+        F.pmod(F.col("_pos") - F.col("s__off"), F.col("s__cb"))
+        .cast("long")
+        .alias("_ib"),
+    )
+    skeys = hits.select(on).distinct()
+    ra = (
+        a.join(F.broadcast(skeys), on, "left_semi")
+        .withColumn(
+            "_ia",
+            (F.row_number().over(Window.partitionBy(on).orderBy(id_a)) - 1).cast(
+                "long"
+            ),
+        )
+        .select(on, "_ia", id_a)
+    )
+    rb = (
+        b.join(F.broadcast(skeys), on, "left_semi")
+        .withColumn(
+            "_ib",
+            (F.row_number().over(Window.partitionBy(on).orderBy(id_b)) - 1).cast(
+                "long"
+            ),
+        )
+        .select(on, "_ib", id_b)
+    )
+    return (
+        hits.join(ra, [on, "_ia"]).join(rb, [on, "_ib"])
+        .select("idx", on, id_a, id_b)
+    )

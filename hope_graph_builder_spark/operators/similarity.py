@@ -421,11 +421,19 @@ def ann_recall(
     Scale shape: one equi-join on (query_id, cand_id) + two
     aggregations with map-side combine; both inputs are top-k tables
     (n_queries·k rows), not corpora."""
-    a = approx.select("query_id", "cand_id")
-    e = exact.select("query_id", "cand_id")
     if k is not None:
+        missing = [n for n, d in (("approx", approx), ("exact", exact))
+                   if "rank" not in d.columns]
+        if missing:
+            raise ValueError(
+                f"k-trim needs a 'rank' column on both inputs; missing on "
+                f"{missing} — pass k=None for pre-trimmed tables"
+            )
         a = approx.filter(F.col("rank") <= k).select("query_id", "cand_id")
         e = exact.filter(F.col("rank") <= k).select("query_id", "cand_id")
+    else:
+        a = approx.select("query_id", "cand_id")
+        e = exact.select("query_id", "cand_id")
     hit = a.withColumn("_hit", F.lit(1))
     per = (
         e.join(hit, ["query_id", "cand_id"], "left")

@@ -560,6 +560,99 @@ def bpe_pair_counts(
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def with_gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """gopher_flags' counters and rule flags ADDED to ``df`` with every
+    input column preserved — the inline form for pipelines that gate on
+    the same scan that computes other signals (no second scan, no
+    doc_id self-join). gopher_flags is a projection of this; the
+    expressions are shared, so the two can never drift."""
+    t = F.col(text_col)
+    d = (
+        df.withColumn("_g_toks", _lower_tokens(t))
+        .withColumn("_g_lines", F.split(t, "\n"))
+    )
+    toks, lines = F.col("_g_toks"), F.col("_g_lines")
+    d = (
+        d.withColumn("n_words", F.size(toks))
+        .withColumn(
+            "sum_word_chars",
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+        )
+        .withColumn(
+            "n_alpha_words", F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        )
+        .withColumn(
+            "n_syms",
+            (occurrences(t, "#") + occurrences(t, "...")).cast("int"),
+        )
+        .withColumn(
+            "n_stop_kinds",
+            F.size(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+                )
+            ),
+        )
+        .withColumn("n_lines", F.size(lines))
+        .withColumn(
+            "n_bullet_lines",
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+                )
+            ),
+        )
+        .withColumn(
+            "n_ellipsis_lines",
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+                )
+            ),
+        )
+        .withColumn(
+            "n_dup_lines", F.size(lines) - F.size(F.array_distinct(lines))
+        )
+        .drop("_g_toks", "_g_lines")
+    )
+    w = F.col("n_words").cast("long")
+    rules = {
+        "ok_word_count": (w >= 50) & (w <= 100_000),
+        "ok_mean_word_len": (w > 0)
+        & (F.col("sum_word_chars") >= 3 * w)
+        & (F.col("sum_word_chars") <= 10 * w),
+        "ok_symbol_ratio": F.col("n_syms").cast("long") * 10 <= w,
+        "ok_alpha_words": F.col("n_alpha_words").cast("long") * 5 >= w * 4,
+        "ok_stop_words": F.col("n_stop_kinds") >= 2,
+        "ok_bullet_lines": F.col("n_bullet_lines").cast("long") * 10
+        <= F.col("n_lines").cast("long") * 9,
+        "ok_ellipsis_lines": F.col("n_ellipsis_lines").cast("long") * 10
+        <= F.col("n_lines").cast("long") * 3,
+        "ok_dup_lines": F.col("n_dup_lines").cast("long") * 10
+        <= F.col("n_lines").cast("long") * 3,
+    }
+    for name, expr in rules.items():
+        d = d.withColumn(name, expr)
+    gate = None
+    for name in rules:
+        gate = F.col(name) if gate is None else gate & F.col(name)
+    return d.withColumn("gopher_pass", gate)
+
+
+GOPHER_COLS = [
+    "n_words", "sum_word_chars", "n_alpha_words", "n_syms", "n_stop_kinds",
+    "n_lines", "n_bullet_lines", "n_ellipsis_lines", "n_dup_lines",
+    "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio", "ok_alpha_words",
+    "ok_stop_words", "ok_bullet_lines", "ok_ellipsis_lines", "ok_dup_lines",
+    "gopher_pass",
+]
+
+
 def gopher_flags(
     docs: DataFrame,
     text_col: str = "text",
@@ -581,71 +674,9 @@ def gopher_flags(
 
     Scale shape: a pure map stage — token and line arrays hoisted once
     per row, every rule a native Column fold over them; zero
-    exchanges, pushes through any upstream filter."""
-    t = F.col(text_col)
-    d = docs.select(
-        F.col(id_col),
-        _lower_tokens(t).alias("_toks"),
-        F.split(t, "\n").alias("_lines"),
-        t.alias("_t"),
-    )
-    toks, lines = F.col("_toks"), F.col("_lines")
-    n_words = F.size(toks)
-    sum_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
-    n_syms = (occurrences(F.col("_t"), "#") + occurrences(F.col("_t"), "...")).cast(
-        "int"
-    )
-    n_stop_kinds = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
-    )
-    n_lines = F.size(lines)
-    n_bullet = F.size(
-        F.filter(
-            lines,
-            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
-        )
-    )
-    n_ellipsis = F.size(
-        F.filter(
-            lines,
-            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
-        )
-    )
-    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
-    out = d.select(
-        id_col,
-        n_words.alias("n_words"),
-        sum_chars.alias("sum_word_chars"),
-        n_alpha.alias("n_alpha_words"),
-        n_syms.alias("n_syms"),
-        n_stop_kinds.alias("n_stop_kinds"),
-        n_lines.alias("n_lines"),
-        n_bullet.alias("n_bullet_lines"),
-        n_ellipsis.alias("n_ellipsis_lines"),
-        n_dup_lines.alias("n_dup_lines"),
-    )
-    w = F.col("n_words").cast("long")
-    rules = {
-        "ok_word_count": (w >= 50) & (w <= 100_000),
-        "ok_mean_word_len": (w > 0)
-        & (F.col("sum_word_chars") >= 3 * w)
-        & (F.col("sum_word_chars") <= 10 * w),
-        "ok_symbol_ratio": F.col("n_syms").cast("long") * 10 <= w,
-        "ok_alpha_words": F.col("n_alpha_words").cast("long") * 5 >= w * 4,
-        "ok_stop_words": F.col("n_stop_kinds") >= 2,
-        "ok_bullet_lines": F.col("n_bullet_lines").cast("long") * 10
-        <= F.col("n_lines").cast("long") * 9,
-        "ok_ellipsis_lines": F.col("n_ellipsis_lines").cast("long") * 10
-        <= F.col("n_lines").cast("long") * 3,
-        "ok_dup_lines": F.col("n_dup_lines").cast("long") * 10
-        <= F.col("n_lines").cast("long") * 3,
-    }
-    for name, expr in rules.items():
-        out = out.withColumn(name, expr)
-    gate = None
-    for name in rules:
-        gate = F.col(name) if gate is None else gate & F.col(name)
-    return out.withColumn("gopher_pass", gate)
+    exchanges, pushes through any upstream filter. Pipelines that
+    already scan the text compose ``with_gopher_flags`` instead (same
+    expressions, no extra scan or join)."""
+    return with_gopher_flags(
+        docs.select(F.col(id_col), F.col(text_col)), text_col
+    ).select(id_col, *GOPHER_COLS)

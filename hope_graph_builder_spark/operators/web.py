@@ -257,6 +257,13 @@ def parse_json_fields(
     ``from_json`` with an explicit struct schema (one parse per row);
     per-field extraction wins below ~5 fields and keeps the output
     schema explicit either way."""
+    names = [(prefix + n).replace(".", "_") for n in fields]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"output column collision after '.'→'_' mapping: {dupes} — "
+            f"rename or prefix the conflicting fields"
+        )
     out = df
     for name, typ in fields.items():
         out = out.withColumn(

@@ -62,23 +62,31 @@ def run_corpus_curation(
     (quality_score desc, id) after a per-``by`` quota cap in salted-
     hash order — one domain cannot dominate, and the budget fills with
     the best of what remains. Chunk uids pack ``doc_id`` above 20 bits
-    of ``chunk_id`` (raises nothing here: a chunk_id ≥ 2^20 would need
-    a single document of ≥ 2^20·stride tokens — split such documents
-    upstream)."""
+    of ``chunk_id`` (guarded: a chunk_id ≥ 2^20 — a single document of
+    ≥ 2^20·stride tokens — raises instead of silently colliding with
+    the next doc's uid; split such documents upstream)."""
     gate_cols = gate_cols or ["gopher_pass"]
     t = F.col(text_col)
-    sig = textops.gopher_flags(docs, text_col=text_col, id_col=id_col)
     gate = None
     for c in gate_cols:
         gate = F.col(c) if gate is None else gate & F.col(c)
-    meta = docs.select(
-        F.col(id_col),
-        F.col(by),
-        t.alias(text_col),
-        F.bround(textops.quality_score(t), 6).alias("quality"),
-        textops.token_count(t).cast("long").alias("n_tokens"),
+    # one scan: battery flags inline on the same projection as the
+    # quality/token signals, gate as a plain filter — no second pass
+    # over the text and no doc_id self-join
+    gated = (
+        textops.with_gopher_flags(
+            docs.select(F.col(id_col), F.col(by), t.alias(text_col)),
+            text_col,
+        )
+        .filter(gate)
+        .select(
+            id_col,
+            by,
+            text_col,
+            F.bround(textops.quality_score(t), 6).alias("quality"),
+            textops.token_count(t).cast("long").alias("n_tokens"),
+        )
     )
-    gated = meta.join(sig.filter(gate).select(id_col), id_col)
     capped = quota_cap(
         gated, quota_per_source, by=by, id_col=id_col, salt=salt
     )
@@ -91,8 +99,18 @@ def run_corpus_curation(
         text_col=text_col, id_col=id_col,
     ).withColumn(
         "chunk_uid",
-        (F.col(id_col) * F.lit(1 << _CHUNK_UID_SHIFT) + F.col("chunk_id")).cast(
-            "long"
+        F.when(
+            F.col("chunk_id") < F.lit(1 << _CHUNK_UID_SHIFT),
+            (F.col(id_col) * F.lit(1 << _CHUNK_UID_SHIFT)
+             + F.col("chunk_id")).cast("long"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "chunk_id overflows the 20-bit uid field — a single "
+                    "document produced >= 2^20 chunks; split such "
+                    "documents upstream or raise _CHUNK_UID_SHIFT"
+                )
+            ).cast("long")
         ),
     )
     return shard_shuffle(

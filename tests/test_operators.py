@@ -917,6 +917,132 @@ def test_dup_substring_spans(spark):
     )
 
 
+def test_join_uniform_sample(spark):
+    """Sampling over a join without materializing it: every sampled
+    pair must equal the pair the global-index bijection names —
+    replicated independently in Python (same hash, same bucket-major
+    key order, same row ranks) — with k distinct in-range strata
+    indices; deterministic across reruns; tiny joins return the full
+    join."""
+    import hashlib
+
+    from hope_graph_builder_spark.operators.join_sample import (
+        join_uniform_sample,
+    )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # skewed: key 0 carries half of a; key ids 0..9
+    a_rows = [(i, i % 10 if i % 2 else 0) for i in range(200)]
+    b_rows = [(1000 + i, i % 10) for i in range(150)]
+    a = spark.createDataFrame(a_rows, "a_id long, k long")
+    b = spark.createDataFrame(b_rows, "b_id long, k long")
+
+    ca, cb = {}, {}
+    for _, key in a_rows:
+        ca[key] = ca.get(key, 0) + 1
+    for _, key in b_rows:
+        cb[key] = cb.get(key, 0) + 1
+    keys = sorted(
+        (kk for kk in ca if kk in cb),
+        key=lambda kk: (h60(str(kk)) % 64, kk),
+    )
+    off, offs = 0, {}
+    for kk in keys:
+        offs[kk] = off
+        off += ca[kk] * cb[kk]
+    P = off
+    a_by_key = {}
+    for i, key in sorted(a_rows):
+        a_by_key.setdefault(key, []).append(i)
+    b_by_key = {}
+    for i, key in sorted(b_rows):
+        b_by_key.setdefault(key, []).append(i)
+
+    k = 37
+    salt = "t0"
+    q, r = P // k, P % k
+    expected = {}
+    for j in range(k):
+        lo = j * q + (j * r) // k
+        hi = (j + 1) * q + ((j + 1) * r) // k
+        pos = lo + h60(f"{salt}#{j}") % (hi - lo)
+        kk = max((kk for kk in keys if offs[kk] <= pos),
+                 key=lambda kk: offs[kk])
+        rel = pos - offs[kk]
+        expected[pos] = (kk, a_by_key[kk][rel // cb[kk]],
+                         b_by_key[kk][rel % cb[kk]])
+
+    out = {r2.idx: (r2.k, r2.a_id, r2.b_id) for r2 in
+           join_uniform_sample(a, b, "k", k, "a_id", "b_id", salt=salt).collect()}
+    assert out == expected and len(out) == k
+    # deterministic rerun
+    out2 = {r2.idx: (r2.k, r2.a_id, r2.b_id) for r2 in
+            join_uniform_sample(a, b, "k", k, "a_id", "b_id", salt=salt).collect()}
+    assert out2 == out
+    # tiny join: full result comes back
+    from pyspark.sql import functions as F
+    tiny = join_uniform_sample(a.filter(F.col("a_id") < 3),
+                               b.filter(F.col("b_id") < 1002), "k", 1000,
+                               "a_id", "b_id").collect()
+    got_pairs = {(r2.k, r2.a_id, r2.b_id) for r2 in tiny}
+    want_pairs = {(ka, ia, ib) for ia, ka in a_rows[:3]
+                  for ib, kb2 in b_rows[:2] if ka == kb2}
+    assert got_pairs == want_pairs
+
+
+def test_review_fix_regressions(spark, monkeypatch):
+    """Regression pins for the round-5 review findings: NULL-text
+    batch rows survive delta dedup (sentinel digest, dedupe among
+    themselves); ann_recall k-trim without a rank column raises
+    instead of AnalysisException; parse_json_fields output-name
+    collisions raise; the curation chunk_uid guard raises on a 20-bit
+    chunk_id overflow instead of silently colliding."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators import dedup as dd
+    from hope_graph_builder_spark.operators.similarity import ann_recall
+    from hope_graph_builder_spark.operators.web import parse_json_fields
+    from hope_graph_builder_spark.pipelines import curation
+
+    # 1. NULL text: rows preserved, NULL==NULL dedupe, never index-dup
+    batch = spark.createDataFrame(
+        [(1, "real"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    idx = spark.createDataFrame([("real",)], "t string").select(
+        F.md5("t").alias("h")
+    )
+    out = {r.doc_id: r for r in dd.delta_exact_dedup(batch, idx).collect()}
+    assert len(out) == 3
+    assert out[1].dup_of_index and not out[1].keep
+    assert out[2].keep and not out[2].dup_of_index and not out[2].dup_in_batch
+    assert out[3].dup_in_batch and not out[3].dup_of_index and not out[3].keep
+
+    # 2. k-trim needs rank on BOTH inputs
+    two_col = spark.createDataFrame([(1, 2)], "query_id long, cand_id long")
+    with pytest.raises(ValueError, match="rank"):
+        ann_recall(two_col, two_col, k=3)
+
+    # 3. '.'→'_' output-name collision is loud
+    d = spark.createDataFrame([(1, '{"a": {"b": 1}}')], "id long, props string")
+    with pytest.raises(ValueError, match="collision"):
+        parse_json_fields(d, "props", {"a.b": "int", "a_b": "string"})
+
+    # 4. chunk_uid overflow raises (shrink the shift so a small doc trips it)
+    monkeypatch.setattr(curation, "_CHUNK_UID_SHIFT", 2)
+    docs = spark.createDataFrame(
+        [(1, "s", " ".join(f"w{i} of the and to be have that with ok" for i in range(30)))],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(Exception, match="chunk_id overflows"):
+        curation.run_corpus_curation(
+            docs, quota_per_source=10, token_budget=10**6, seq_len=4,
+            overlap=0, n_shards=2, gate_cols=["ok_word_count"],
+        ).collect()
+
+
 def test_strip_dup_spans_random_brute_force(spark):
     """Randomized cross-check (seeded, one Spark job): 80 short
     strings over a 2-letter alphabet — dense window collisions,

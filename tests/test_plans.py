@@ -268,6 +268,31 @@ def test_dup_substrings_no_cartesian_no_python(spark):
     assert "SinglePartition" not in plan
 
 
+def test_join_sample_plan(spark):
+    """join_uniform_sample's final plan: the key-containment probe is
+    the per-bucket as-of (union + partitioned window), NOT a
+    nested-loop/cartesian over the key table; no Python eval; no
+    unpartitioned window over data-sized tables (the one
+    Window.orderBy is the <= n_buckets offsets pass)."""
+    from pyspark.sql import functions as F
+
+    from hope_graph_builder_spark.operators.join_sample import (
+        join_uniform_sample,
+    )
+
+    e = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), "user_id"
+    )
+    b = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("b_id"), "user_id"
+    )
+    plan = _plan(join_uniform_sample(a, b, "user_id", 50, "a_id", "b_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_corpus_curation_plan(spark):
     """The composed curation chain stays native: no Python eval, no
     cartesian/BNLJ anywhere in the five-stage plan. (The one

@@ -47,7 +47,8 @@ def main() -> None:
                       executors=executors)
     spark.sparkContext.setLogLevel("ERROR")
 
-    cache = f"/dev/shm/bench_inputs/curation_m{mult}"
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    cache = f"/dev/shm/bench_inputs/curation_{sf_tag}_m{mult}"
     if not os.path.exists(cache + "/_SUCCESS"):
         base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "source", "text"
