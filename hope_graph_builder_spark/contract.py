@@ -224,6 +224,99 @@ def q_pip_point_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pip_sample_join",
+    f"""
+    WITH pts AS ({{PTS}}),
+    a AS (
+      SELECT doc_id AS a_id, x, y,
+             (9 * 72057594037927936)
+             + CAST(floor(x / 256.0) AS BIGINT) * 268435456
+             + CAST(floor(y / 256.0) AS BIGINT) AS kk
+      FROM pts
+    ),
+    lay AS ({{LAYERS}}),
+    lx AS (SELECT *, unnest(range(CAST(floor(minx / 256.0) AS BIGINT),
+                                  CAST(floor(maxx / 256.0) AS BIGINT) + 1))
+                     AS ix FROM lay),
+    lc AS (SELECT *, unnest(range(CAST(floor(miny / 256.0) AS BIGINT),
+                                  CAST(floor(maxy / 256.0) AS BIGINT) + 1))
+                     AS iy FROM lx),
+    b AS (SELECT poly_id AS b_id,
+                 (9 * 72057594037927936) + ix * 268435456 + iy AS kk
+          FROM lc),
+    ca AS (SELECT kk, count(*) AS ca FROM a GROUP BY kk),
+    cb AS (SELECT kk, count(*) AS cb FROM b GROUP BY kk),
+    keys AS (
+      SELECT ca.kk, ca.ca, cb.cb, ca.ca * cb.cb AS p,
+             CAST(('0x' || substr(md5(CAST(ca.kk AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS kb
+      FROM ca JOIN cb USING (kk)
+    ),
+    offs AS (
+      SELECT *, coalesce(sum(p) OVER (ORDER BY kb, kk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM keys
+    ),
+    tot AS (SELECT sum(p) AS pt FROM keys),
+    idx AS (
+      SELECT (j * (pt // 240) + (j * (pt % 240)) // 240)
+             + CAST(('0x' || substr(md5('ps0#' || CAST(j AS VARCHAR)), 1, 15))
+                    AS BIGINT)
+               % (((j + 1) * (pt // 240) + ((j + 1) * (pt % 240)) // 240)
+                  - (j * (pt // 240) + (j * (pt % 240)) // 240)) AS pos
+      FROM generate_series(0, 239) AS t(j), tot
+    ),
+    hit AS (
+      SELECT idx.pos, o.kk,
+             (idx.pos - o.off) // o.cb AS ia,
+             (idx.pos - o.off) % o.cb AS ib
+      FROM idx JOIN offs o ON idx.pos >= o.off AND idx.pos < o.off + o.p
+    ),
+    ra AS (SELECT kk, a_id, x, y,
+                  row_number() OVER (PARTITION BY kk ORDER BY a_id) - 1 AS ia
+           FROM a),
+    rb AS (SELECT kk, b_id,
+                  row_number() OVER (PARTITION BY kk ORDER BY b_id) - 1 AS ib
+           FROM b),
+    cand AS (
+      SELECT hit.pos, ra.a_id, ra.x, ra.y, rb.b_id
+      FROM hit
+      JOIN ra ON hit.kk = ra.kk AND hit.ia = ra.ia
+      JOIN rb ON hit.kk = rb.kk AND hit.ib = rb.ib
+    ),
+    acc AS (
+      SELECT cand.* FROM cand JOIN lay ON cand.b_id = lay.poly_id
+      WHERE cand.x >= lay.minx AND cand.x < lay.maxx
+        AND cand.y >= lay.miny AND cand.y < lay.maxy
+    )
+    SELECT CAST(pos AS BIGINT) AS idx, a_id AS doc_id, b_id AS poly_id FROM (
+      SELECT *, row_number() OVER (ORDER BY
+        CAST(('0x' || substr(md5('ps0!' || CAST(pos AS VARCHAR)), 1, 15))
+             AS BIGINT), pos) AS r
+      FROM acc) z
+    WHERE r <= 60
+    """.replace("{PTS}", synth.sql_points())
+       .replace("{LAYERS}", synth.sql_layers_duckdb()),
+)
+def q_pip_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform sampling over the SPATIAL join without materializing it
+    (operators/join_sample.pip_rect_uniform_sample, the ICDE'25
+    spatial range-join sampling shape): 240 candidates from the cell
+    pair-grid bijection, containment rejection, 60 accepted pairs in
+    salted-hash order. The oracle replays cells, covers, the full
+    bijection, the rejection and the hash-order cut."""
+    from hope_graph_builder_spark.operators.join_sample import (
+        pip_rect_uniform_sample,
+    )
+
+    pts = synth.page_points(spark, sf_dir).select("doc_id", "x", "y")
+    layers = synth.noise_layers(spark)
+    return pip_rect_uniform_sample(
+        pts, layers, k=60, res=9, rect_id="poly_id", oversample=4, salt="ps0"
+    )
+
+
+@register(
     "dwithin_pages_edges",
     f"""
     WITH pts AS ({synth.sql_points()}),

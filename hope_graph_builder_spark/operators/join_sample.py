@@ -186,3 +186,64 @@ def join_uniform_sample(
         hits.join(ra, [on, "_ia"]).join(rb, [on, "_ib"])
         .select("idx", on, id_a, id_b)
     )
+
+
+def pip_rect_uniform_sample(
+    points: DataFrame,
+    rects: DataFrame,
+    k: int,
+    res: int,
+    x: str = "x",
+    y: str = "y",
+    point_id: str = "doc_id",
+    rect_id: str = "layer",
+    oversample: int = 4,
+    salt: str = "ps0",
+) -> DataFrame:
+    """Uniform sample of (up to) ``k`` TRUE point-in-rectangle pairs
+    without materializing the spatial join — the spatial range-join
+    sampling shape (ICDE'25 line): the candidate space is the cell
+    equi-join's pair grid (each (point, rect) candidate appears
+    EXACTLY once because a point has one cell at ``res``), sampled by
+    join_uniform_sample, then containment-refined (rejection), then
+    ``k`` of the accepted picked in SALTED-HASH order — hash order is
+    independent of the cell layout, so the truncation cannot bias the
+    sample toward low-offset cells the way taking the first k by pair
+    index would. Output: ``(idx, point_id, rect_id)``.
+
+    Returns fewer than ``k`` rows only when the acceptance rate drops
+    below ``1/oversample`` (the rate is the true-containment share of
+    the cell-cover candidates — pick ``res`` so cells are no larger
+    than typical rects and it stays well above 1/2; raise
+    ``oversample`` otherwise). Cost on top of join_uniform_sample:
+    two id-equi joins for the k·oversample sampled candidates and one
+    ordering window over those ≤ k·oversample rows."""
+    from hope_graph_builder_spark.operators.spatial_join import (
+        CELL,
+        with_cover_cells,
+        with_point_cell,
+    )
+
+    p = with_point_cell(points, x, y, res).select(CELL, point_id)
+    g = with_cover_cells(rects, "minx", "miny", "maxx", "maxy", res).select(
+        CELL, rect_id
+    )
+    cand = join_uniform_sample(
+        p, g, CELL, k * oversample, id_a=point_id, id_b=rect_id, salt=salt
+    )
+    att = (
+        cand.join(points.select(point_id, x, y), point_id)
+        .join(rects.select(rect_id, "minx", "miny", "maxx", "maxy"), rect_id)
+    )
+    acc = att.filter(
+        (F.col(x) >= F.col("minx")) & (F.col(x) < F.col("maxx"))
+        & (F.col(y) >= F.col("miny")) & (F.col(y) < F.col("maxy"))
+    )
+    w = Window.orderBy(
+        hash60(F.concat(F.lit(salt + "!"), F.col("idx").cast("string"))), "idx"
+    )
+    return (
+        acc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("idx", point_id, rect_id)
+    )

@@ -992,6 +992,42 @@ def test_join_uniform_sample(spark):
     assert got_pairs == want_pairs
 
 
+def test_pip_rect_uniform_sample(spark):
+    """Spatial join sampling: every returned pair is a TRUE
+    containment pair (subset of the materialized PIP join), count is
+    min(k, accepted), reruns are identical, and a different salt
+    draws a different (still valid) sample."""
+    from hope_graph_builder_spark import synth
+    from hope_graph_builder_spark.operators.join_sample import (
+        pip_rect_uniform_sample,
+    )
+    from hope_graph_builder_spark.operators.spatial_join import pip_join_rect
+
+    pts = synth.page_points(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "x", "y"
+    )
+    layers = synth.noise_layers(spark)
+    true_pairs = {
+        (r.doc_id, r.poly_id)
+        for r in pip_join_rect(pts, layers, res=9, point_id="doc_id")
+        .select("doc_id", "poly_id").collect()
+    }
+    out = pip_rect_uniform_sample(
+        pts, layers, k=40, res=9, rect_id="poly_id", salt="s1"
+    ).collect()
+    assert 0 < len(out) <= 40
+    assert all((r.doc_id, r.poly_id) in true_pairs for r in out)
+    out2 = pip_rect_uniform_sample(
+        pts, layers, k=40, res=9, rect_id="poly_id", salt="s1"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    other = pip_rect_uniform_sample(
+        pts, layers, k=40, res=9, rect_id="poly_id", salt="s2"
+    ).collect()
+    assert all((r.doc_id, r.poly_id) in true_pairs for r in other)
+    assert {r.idx for r in other} != {r.idx for r in out}
+
+
 def test_review_fix_regressions(spark, monkeypatch):
     """Regression pins for the round-5 review findings: NULL-text
     batch rows survive delta dedup (sentinel digest, dedupe among
