@@ -992,6 +992,38 @@ def test_join_uniform_sample(spark):
     assert got_pairs == want_pairs
 
 
+def test_join_uniform_sample_uniformity(spark):
+    """Empirical pin of the uniformity claim: over 20 independent
+    salts × 50 draws, each key's selection frequency matches its pair
+    share ca·cb/P within 5 binomial standard deviations (deterministic
+    — fixed salts, no flake). A layout bias (e.g. truncation toward
+    low-offset keys) would blow through the bound."""
+    from collections import Counter
+
+    from hope_graph_builder_spark.operators.join_sample import (
+        join_uniform_sample,
+    )
+
+    a_rows = [(i, i % 7) for i in range(140)]          # 20 rows/key
+    b_rows = [(1000 + i, i % 7) for i in range(70)]    # 10 rows/key
+    a = spark.createDataFrame(a_rows, "a_id long, k long")
+    b = spark.createDataFrame(b_rows, "b_id long, k long")
+    P, per_key = 7 * 20 * 10, 20 * 10
+    draws = Counter()
+    n_salts, k = 20, 50
+    for s in range(n_salts):
+        for r in join_uniform_sample(a, b, "k", k, "a_id", "b_id",
+                                     salt=f"u{s}").collect():
+            draws[r.k] += 1
+    n = n_salts * k
+    p = per_key / P
+    import math
+    sd = math.sqrt(n * p * (1 - p))
+    for key in range(7):
+        assert abs(draws[key] - n * p) <= 5 * sd, (key, draws[key], n * p, sd)
+    assert sum(draws.values()) == n
+
+
 def test_pip_rect_uniform_sample(spark):
     """Spatial join sampling: every returned pair is a TRUE
     containment pair (subset of the materialized PIP join), count is
