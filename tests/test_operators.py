@@ -1060,6 +1060,34 @@ def test_pip_rect_uniform_sample(spark):
     assert {r.idx for r in other} != {r.idx for r in out}
 
 
+def test_dwithin_uniform_sample(spark):
+    """Range-join sampling: every returned pair is a TRUE
+    DWithin(30 m) pair (subset of the materialized dwithin join) and
+    reruns are identical."""
+    from hope_graph_builder_spark import synth
+    from hope_graph_builder_spark.operators.join_sample import (
+        dwithin_uniform_sample,
+    )
+    from hope_graph_builder_spark.operators.spatial_join import dwithin_join
+
+    pts = synth.page_points(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "x", "y"
+    )
+    edges = synth.page_edges(spark, "/root/testdata/sf0.001").select(
+        "edge_id", "x1", "y1", "x2", "y2"
+    )
+    true_pairs = {
+        (r.doc_id, r.edge_id)
+        for r in dwithin_join(pts, edges, 30.0, res=11)
+        .select("doc_id", "edge_id").collect()
+    }
+    out = dwithin_uniform_sample(pts, edges, 30.0, 25, res=11, salt="d1").collect()
+    assert 0 < len(out) <= 25
+    assert all((r.doc_id, r.edge_id) in true_pairs for r in out)
+    out2 = dwithin_uniform_sample(pts, edges, 30.0, 25, res=11, salt="d1").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_review_fix_regressions(spark, monkeypatch):
     """Regression pins for the round-5 review findings: NULL-text
     batch rows survive delta dedup (sentinel digest, dedupe among
