@@ -1885,6 +1885,56 @@ def q_bpe_pairs(spark, sf_dir):
 
 
 @register(
+    "c_weighted_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars AS w,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS kb
+      FROM documents WHERE n_chars > 0
+    ),
+    boff AS (SELECT kb, sum(w) AS bw FROM d GROUP BY kb),
+    boff2 AS (
+      SELECT kb, coalesce(sum(bw) OVER (ORDER BY kb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boffv
+      FROM boff
+    ),
+    r AS (
+      SELECT d.doc_id, d.w,
+             boff2.boffv + coalesce(sum(d.w) OVER (PARTITION BY d.kb
+               ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d JOIN boff2 USING (kb)
+    ),
+    tot AS (SELECT sum(w) AS wt FROM d),
+    idx AS (
+      SELECT (j * (wt // 200) + (j * (wt % 200)) // 200)
+             + CAST(('0x' || substr(md5('ws0#' || CAST(j AS VARCHAR)), 1, 15))
+                    AS BIGINT)
+               % (((j + 1) * (wt // 200) + ((j + 1) * (wt % 200)) // 200)
+                  - (j * (wt // 200) + (j * (wt % 200)) // 200)) AS pos
+      FROM generate_series(0, 199) AS t(j), tot
+      WHERE ((j + 1) * (wt // 200) + ((j + 1) * (wt % 200)) // 200)
+            > (j * (wt // 200) + (j * (wt % 200)) // 200)
+    )
+    SELECT CAST(idx.pos AS BIGINT) AS idx, r.doc_id
+    FROM idx JOIN r ON idx.pos >= r.off AND idx.pos < r.off + r.w
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic token-mass sampling (operators/join_sample
+    .weighted_sample): 200 draws with probability ∝ n_chars via
+    systematic strata over the cumulative-weight axis. The oracle
+    replays the bucket-decomposed weight offsets, the overflow-safe
+    strata and the containment — every draw's (idx, doc) must
+    match."""
+    from hope_graph_builder_spark.operators.join_sample import weighted_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(d, "n_chars", 200, salt="ws0")
+
+
+@register(
     "c_quota_cap",
     """
     WITH h AS (

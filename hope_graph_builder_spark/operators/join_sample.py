@@ -309,3 +309,111 @@ def dwithin_uniform_sample(
         .filter(F.col("_r") <= k)
         .select("idx", point_id, seg_id)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws0",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """``k`` draws with probability ∝ integer ``weight_col`` — the
+    token-mass sampling a training-mixture builder runs ("sample
+    documents by token count so the sample's token distribution
+    matches the corpus"), deterministic (no rand(): systematic strata
+    over the cumulative-weight axis at salted-hash offsets, the same
+    machinery as join_uniform_sample). One output row per DRAW
+    (``idx`` = the sampled weight-space position): a document whose
+    weight spans multiple strata is legitimately drawn multiple times
+    — with-replacement-like semantics; ``groupBy(id).count()`` gives
+    multiplicities. Zero/negative weights are never drawn.
+
+    Cost shape: one map pass for buckets, bucket-decomposed prefix
+    offsets (the only unpartitioned window is over ≤ ``n_buckets``
+    rows), ONE aggregate action for total weight W, then k probes
+    through the per-bucket as-of containment — never a sort or
+    nested-loop over the full table."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = df.sparkSession
+    d = df.filter(F.col(weight_col) > 0).select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("_w"),
+        F.pmod(hash60(F.col(id_col).cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("_kb"),
+    )
+    boff = (
+        d.groupBy("_kb")
+        .agg(F.sum("_w").alias("_bw"))
+        .withColumn(
+            "_boff",
+            F.coalesce(
+                F.sum("_bw").over(
+                    Window.orderBy("_kb").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("_kb", "_boff")
+    )
+    rows = (
+        d.join(F.broadcast(boff), "_kb")
+        .withColumn(
+            "_woff",
+            F.coalesce(
+                F.sum("_w").over(
+                    Window.partitionBy("_kb")
+                    .orderBy(id_col)
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_off", F.col("_boff") + F.col("_woff"))
+        .select(id_col, "_kb", "_w", "_off")
+    )
+    total = int(rows.agg(F.sum("_w")).collect()[0][0] or 0)  # the ONE action
+    if total == 0:
+        return rows.select(
+            F.lit(None).cast("long").alias("idx"), id_col
+        ).limit(0)
+
+    q, r = total // k, total % k
+    j = F.col("id")
+    lo = (j * q + F.expr(f"(id * {r}) div {k}")).cast("long")
+    hi = ((j + 1) * q + F.expr(f"((id + 1) * {r}) div {k}")).cast("long")
+    idx = spark.range(k).select(
+        F.when(
+            hi > lo,
+            lo
+            + F.pmod(
+                hash60(F.concat(F.lit(salt + "#"), j.cast("string"))), hi - lo
+            ),
+        ).alias("_pos")
+    ).filter(F.col("_pos").isNotNull())  # W < k: empty strata skipped
+
+    bspans = sorted((int(row["_boff"]), row["_kb"]) for row in boff.collect())
+    kb_expr = None
+    for off, kb in reversed(bspans):  # largest offset first; chained
+        cond = F.col("_pos") >= F.lit(off)  # when()s test in order
+        kb_expr = (
+            F.when(cond, F.lit(kb))
+            if kb_expr is None
+            else kb_expr.when(cond, F.lit(kb))
+        )
+    from hope_graph_builder_spark.operators.temporal import asof_join
+
+    probes = asof_join(
+        idx.withColumn("_kb", kb_expr.cast("int")),
+        rows.select("_kb", F.col("_off").alias("_pos"), id_col, "_off"),
+        by="_kb",
+        ts="_pos",
+        payload=[id_col, "_off"],
+        prefix="s_",
+    )
+    return probes.select(
+        F.col("_pos").alias("idx"), F.col(f"s_{id_col}").alias(id_col)
+    )

@@ -1060,6 +1060,54 @@ def test_pip_rect_uniform_sample(spark):
     assert {r.idx for r in other} != {r.idx for r in out}
 
 
+def test_weighted_sample(spark):
+    """Token-mass sampling closed-form: draw counts track weights (a
+    doc with half the total mass gets ~half the draws), zero weights
+    never drawn, deterministic reruns, and the exact draw positions
+    match an independent Python replica of strata + cumulative-weight
+    containment."""
+    import hashlib
+
+    from hope_graph_builder_spark.operators.join_sample import weighted_sample
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(1, 500), (2, 250), (3, 125), (4, 125), (5, 0)]
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+    k, salt = 100, "w1"
+    # python replica
+    live = [(i, w) for i, w in rows if w > 0]
+    order = sorted(live, key=lambda t: (h60(str(t[0])) % 64, t[0]))
+    offs, off = {}, 0
+    for i, w in order:
+        offs[i] = off
+        off += w
+    W = off
+    q, r = W // k, W % k
+    expected = {}
+    for j in range(k):
+        lo = j * q + (j * r) // k
+        hi = (j + 1) * q + ((j + 1) * r) // k
+        if hi <= lo:
+            continue
+        pos = lo + h60(f"{salt}#{j}") % (hi - lo)
+        doc = max((i for i, _ in order if offs[i] <= pos),
+                  key=lambda i: offs[i])
+        expected[pos] = doc
+    got = {r2.idx: r2.doc_id for r2 in
+           weighted_sample(d, "w", k, salt=salt).collect()}
+    assert got == expected
+    counts = {}
+    for doc in got.values():
+        counts[doc] = counts.get(doc, 0) + 1
+    assert 5 not in counts
+    assert abs(counts[1] - 50) <= 2 and abs(counts[2] - 25) <= 2
+    got2 = {r2.idx: r2.doc_id for r2 in
+            weighted_sample(d, "w", k, salt=salt).collect()}
+    assert got2 == got
+
+
 def test_dwithin_uniform_sample(spark):
     """Range-join sampling: every returned pair is a TRUE
     DWithin(30 m) pair (subset of the materialized dwithin join) and
