@@ -73,12 +73,6 @@ def aggregate_noise_values(samples: DataFrame, prefer_syke: bool = False) -> Dat
             )
         ),
     )
-    df = df.withColumn(
-        "n_max_adj",
-        F.when(F.size("n_max_sources") > 1, F.col("n_max") + F.size("n_max_sources"))
-        .when(F.size("n_max_sources") == 1, F.col("n_max"))
-        .otherwise(F.lit(None).cast("double")),
-    )
     # bitmask twin of n_max_sources (bit i ⇔ SOURCES[i] attains n_max):
     # all-numeric, so the hot path caches/shuffles ints instead of
     # string arrays (array-column cache build measured ~10× slower)
@@ -86,6 +80,19 @@ def aggregate_noise_values(samples: DataFrame, prefer_syke: bool = False) -> Dat
     for i, s in enumerate(SOURCES):
         mask = mask + F.when(F.col(s) == F.col("n_max"), F.lit(1 << i)).otherwise(F.lit(0))
     df = df.withColumn("n_max_mask", F.coalesce(mask, F.lit(0)))
+    # n_max_adj counts co-max sources via the mask's popcount instead of
+    # size(n_max_sources): identical by construction (bit i set ⇔ source
+    # i in the list; n_max null ⇒ mask 0 ⇔ empty list), but it frees
+    # column pruning to ELIMINATE the per-row string-array build when a
+    # consumer (the flagship slim tail) never reads n_max_sources (r06,
+    # guide §2.3 — don't compute what you throw away)
+    cnt = F.bit_count("n_max_mask")
+    df = df.withColumn(
+        "n_max_adj",
+        F.when(cnt > 1, F.col("n_max") + cnt)
+        .when(cnt == 1, F.col("n_max"))
+        .otherwise(F.lit(None).cast("double")),
+    )
     return df
 
 
@@ -193,21 +200,32 @@ def aggregate_noises_by_edge(
     Input: one row per (edge sample), with n_max_adj, n_max_mask,
     sample_len (sample_len is constant per edge: length / n).
 
-    ONE grouped pass: collect the (adj, mask) pairs per edge and build
-    all three outputs with native array expressions. The previous form
-    (two grouped passes feeding two per-edge rollups plus a reassembly
-    join) cost 5 exchanges / 6 stages; stage-launch latency was the
-    measured N-vs-4N scaling floor, and a cached repartition cannot fix
-    it because AQE hides a cached plan's output partitioning from
-    EnsureRequirements (re-verified on 4.1). This form is exactly one
-    exchange — and the map-side partial collect buffers only the two
-    small ints per sample.
+    Two-level grouped pass (r06): the samples of one edge overwhelmingly
+    share one (adj, mask) value (measured: 515k distinct
+    (edge, adj, mask) triples over 6.4M samples ≈ 1.03 per edge), so a
+    cheap whole-stage-codegen count by (edge, adj, mask) runs first and
+    the object-hash collect_list + per-edge array expressions — the
+    measured CPU hot spot of the old single-pass form (~25 of 82
+    executor-seconds) — operate on ~1-entry weighted arrays instead of
+    ~13-entry raw ones. The counts ride the arrays as weights; every
+    output value and map entry order is bit-identical (oracle-pinned).
+    The extra exchange carries the pre-aggregated triples (≤ one row
+    per distinct (edge, adj, mask)) — strictly fewer bytes than the old
+    partial collect buffers it replaces.
     """
-    rows_col = F.collect_list(
-        F.struct(F.col("n_max_adj").alias("adj"), F.col("n_max_mask").alias("mask"))
+    pre = final_samples.groupBy(edge_id, "n_max_adj", "n_max_mask").agg(
+        F.count(F.lit(1)).cast("int").alias("_c"),
+        F.min("sample_len").alias("_psl"),
     )
-    g = final_samples.groupBy(edge_id).agg(
-        rows_col.alias("_rows"), F.min("sample_len").alias("_sl")
+    rows_col = F.collect_list(
+        F.struct(
+            F.col("n_max_adj").alias("adj"),
+            F.col("n_max_mask").alias("mask"),
+            F.col("_c").alias("c"),
+        )
+    )
+    g = pre.groupBy(edge_id).agg(
+        rows_col.alias("_rows"), F.min("_psl").alias("_sl")
     )
 
     adjs = F.sort_array(
@@ -225,7 +243,11 @@ def aggregate_noises_by_edge(
             lambda a: F.struct(
                 a.cast("int").alias("db"),
                 F.bround(
-                    F.size(F.filter(F.col("_rows"), lambda r: r["adj"] == a))
+                    F.aggregate(
+                        F.filter(F.col("_rows"), lambda r: r["adj"] == a),
+                        F.lit(0),
+                        lambda acc, r: acc + r["c"],
+                    )
                     * F.col("_sl"),
                     5,
                 ).alias("exposure"),
@@ -234,11 +256,13 @@ def aggregate_noises_by_edge(
     )
 
     def src_cnt(i: int) -> Column:
-        return F.size(
+        return F.aggregate(
             F.filter(
                 F.col("_rows"),
                 lambda r: F.shiftright(r["mask"], i).bitwiseAND(F.lit(1)) == 1,
-            )
+            ),
+            F.lit(0),
+            lambda acc, r: acc + r["c"],
         )
 
     pairs = F.filter(

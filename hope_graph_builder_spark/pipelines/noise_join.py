@@ -114,7 +114,7 @@ def noise_final_samples(
 
     if fused_dedup and salt == 1 and hot is None and nodata_polys is None:
         return _final_samples_fused_dedup(
-            samples, layers, nodata_rect, res, ring_radius, ring_count
+            samples, layers, nodata_rect, res, ring_radius, ring_count, edges=edges
         )
     uniq = unique_points(samples)
 
@@ -183,19 +183,81 @@ def noise_final_samples(
             nod_no_noise = cond if nod_no_noise is None else (nod_no_noise & cond)
         miss = nod_pts.filter(nod_no_noise).select("xy_id", "x", "y")
     rings = ring_points(miss, radius=ring_radius, count=ring_count, keep=["xy_id"], index_col="ring_i")
-    ring_matches = pip_join_rect(
-        rings, layers, res=res, how="inner", point_id="xy_id", salt=salt, hot=hot
-    ).select("xy_id", "ring_i", "layer", "db")
-    ring_pivot = rings.select("xy_id", "ring_i").join(
-        pivot_layer_max(ring_matches, ["xy_id", "ring_i"]), ["xy_id", "ring_i"], "left"
-    )
+    if salt == 1 and hot is None:
+        # broadcastable layer side: LEFT cell-join + one aggregation
+        # replaces inner PIP → pivot → join-back (same values, one
+        # SortMergeJoin + exchange fewer — r06, oracle-pinned)
+        ring_pivot = _left_cell_pivot(rings, layers, res, keys=["xy_id", "ring_i"])
+    else:
+        ring_matches = pip_join_rect(
+            rings, layers, res=res, how="inner", point_id="xy_id", salt=salt, hot=hot
+        ).select("xy_id", "ring_i", "layer", "db")
+        ring_pivot = rings.select("xy_id", "ring_i").join(
+            pivot_layer_max(ring_matches, ["xy_id", "ring_i"]), ["xy_id", "ring_i"], "left"
+        )
     interp_vals = interpolate_missing(ring_pivot, ring_count=ring_count)
-    interp = aggregate_noise_values(
-        miss.select("xy_id").join(interp_vals, "xy_id", "left"), prefer_syke=True
-    ).select(*SAMPLE_COLS)
+    # interp_vals carries exactly one row per miss key (rings preserve
+    # every miss point; both groupBys preserve keys), so the old
+    # ``miss ⟕ interp_vals`` reassembly join was the identity — dropped
+    interp = aggregate_noise_values(interp_vals, prefer_syke=True).select(*SAMPLE_COLS)
 
     all_samples = normal.unionByName(interp)
     return samples.join(all_samples, "xy_id", "left")
+
+
+def _layer_index_col() -> F.Column:
+    """layer name → its LAYER_NAMES position, evaluated ONCE on the
+    (tiny, broadcast) polygon side so the hot per-candidate aggregation
+    compares ints instead of strings (r06: 8 string equalities per
+    candidate row × 53M rows dominated the fused-agg CPU)."""
+    expr = F.lit(None).cast("int")
+    for i in range(len(LAYER_NAMES) - 1, -1, -1):
+        expr = F.when(F.col("layer") == LAYER_NAMES[i], F.lit(i)).otherwise(expr)
+    return expr
+
+
+def _left_cell_pivot(
+    points: DataFrame,
+    layers: DataFrame,
+    res: int,
+    keys: list[str],
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """LEFT broadcast cell-join + one grouped 8-way conditional max —
+    the fused PIP+pivot core shared by ``location_exposures`` and the
+    ring branch. Exactly one aggregation over a stream-static broadcast
+    join; unmatched points survive with all-null layer columns.
+    Value-identical to pip_join_rect(inner) → pivot_layer_max →
+    join-back (oracle-pinned), with zero join-backs."""
+    from hope_graph_builder_spark.operators.spatial_join import (
+        CELL,
+        with_cover_cells,
+        with_point_cell,
+    )
+
+    p = with_point_cell(points, x, y, res)
+    g = F.broadcast(
+        with_cover_cells(layers, "minx", "miny", "maxx", "maxy", res)
+        .withColumn("_li", _layer_index_col())
+        .select(CELL, "_li", "minx", "miny", "maxx", "maxy", "db")
+    )
+    cand = p.join(g, CELL, "left")
+    hit = (
+        (F.col(x) >= F.col("minx")) & (F.col(x) < F.col("maxx"))
+        & (F.col(y) >= F.col("miny")) & (F.col(y) < F.col("maxy"))
+    )
+    rows = cand.select(
+        *keys,
+        F.when(hit, F.col("_li")).alias("_li"),
+        F.when(hit, F.col("db")).alias("db"),
+    )
+    return rows.groupBy(*keys).agg(
+        *[
+            F.max(F.when(F.col("_li") == i, F.col("db"))).alias(c)
+            for i, c in enumerate(LAYER_NAMES)
+        ],
+    )
 
 
 def location_exposures(
@@ -224,12 +286,6 @@ def location_exposures(
     legal Structured Streaming stage: streaming/noise_stream.py runs
     this same function over an edge STREAM and the test pins
     stream == batch equality."""
-    from hope_graph_builder_spark.operators.spatial_join import (
-        CELL,
-        with_cover_cells,
-        with_point_cell,
-    )
-
     sq = samples.select(
         "xy_id",
         (F.floor(F.col("xy_id") / 10_000_000) / 10.0).alias("x"),
@@ -241,21 +297,7 @@ def location_exposures(
             (F.col("x") >= nx0) & (F.col("x") < nx1)
             & (F.col("y") >= ny0) & (F.col("y") < ny1)
         )
-    p = with_point_cell(sq, "x", "y", res)
-    g = F.broadcast(with_cover_cells(layers, "minx", "miny", "maxx", "maxy", res))
-    cand = p.join(g, CELL, "left")
-    hit = (
-        (F.col("x") >= F.col("minx")) & (F.col("x") < F.col("maxx"))
-        & (F.col("y") >= F.col("miny")) & (F.col("y") < F.col("maxy"))
-    )
-    rows = cand.select(
-        "xy_id",
-        F.when(hit, F.col("layer")).alias("layer"),
-        F.when(hit, F.col("db")).alias("db"),
-    )
-    return rows.groupBy("xy_id").agg(
-        *[F.max(F.when(F.col("layer") == c, F.col("db"))).alias(c) for c in LAYER_NAMES],
-    )
+    return _left_cell_pivot(sq, layers, res, keys=["xy_id"])
 
 
 def _final_samples_fused_dedup(
@@ -265,6 +307,7 @@ def _final_samples_fused_dedup(
     res: int,
     ring_radius: float,
     ring_count: int,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Broadcast-PIP fast path: dedup + PIP + pivot in ONE shuffle.
 
@@ -276,14 +319,42 @@ def _final_samples_fused_dedup(
     dedup AND the per-layer max pivot; unmatched locations survive via
     the left join. Measured at 4N/MULT=400: 42.5 → ~35 s end-to-end.
     Only for the broadcast case — the salted/hot shuffle path and
-    polygon nodata keep the explicit-stage shape."""
+    polygon nodata keep the explicit-stage shape.
+
+    r06 miss-branch shape (guide §2.4 — remove shuffles outright; each
+    step oracle-pinned identical by the flagship queries):
+    - ``edges`` enables a bbox prefilter for the strip recompute: only
+      edges whose bbox (±0.1 m, covering the 0.05 m quantization shift)
+      intersects the nodata strip can yield strip samples, so the
+      recompute explodes a tiny fraction instead of every edge, and the
+      OR-form predicate pushes down to the parquet scan.
+    - the ring pivot is a LEFT broadcast cell-join + one aggregation
+      (``_left_cell_pivot``) instead of inner PIP → pivot → join-back
+      (removes one SortMergeJoin + exchange).
+    - ``interp_vals`` has exactly one row per ``miss`` key by
+      construction (every miss point spawns ring_count ring rows, the
+      left join preserves them, both groupBys preserve keys), so the
+      old ``miss ⟕ interp_vals`` reassembly join was the identity —
+      dropped (removes the second SortMergeJoin + exchange, and with
+      it 2 of the 3 strip recomputes of the whole sample explode)."""
     nx0, ny0, nx1, ny1 = nodata_rect
 
     def build_pts(strip_only: bool) -> DataFrame:
         # miss-branch recompute (strip_only): the nodata filter pushes
-        # all the way down to the sample explode
+        # all the way down to the sample explode — and, when the raw
+        # edges are available, below it, to the edge scan itself
+        src = samples
+        if strip_only and edges is not None:
+            m = 0.1  # quantization moves a sample ≤0.05 m; margin 2×
+            pre = edges.filter(
+                ((F.col("x1") >= nx0 - m) | (F.col("x2") >= nx0 - m))
+                & ((F.col("x1") < nx1 + m) | (F.col("x2") < nx1 + m))
+                & ((F.col("y1") >= ny0 - m) | (F.col("y2") >= ny0 - m))
+                & ((F.col("y1") < ny1 + m) | (F.col("y2") < ny1 + m))
+            )
+            src = with_xy_id(sample_edges(pre))
         agg = location_exposures(
-            samples, layers, res, strip=nodata_rect if strip_only else None
+            src, layers, res, strip=nodata_rect if strip_only else None
         )
         x = (F.floor(F.col("xy_id") / 10_000_000) / 10.0)
         y = (F.pmod(F.col("xy_id"), 10_000_000) / 10.0)
@@ -313,16 +384,9 @@ def _final_samples_fused_dedup(
         miss = build_pts(strip_only=True).filter(no_noise_pred()).select("xy_id", "x", "y")
     rings = ring_points(miss, radius=ring_radius, count=ring_count,
                         keep=["xy_id"], index_col="ring_i")
-    ring_matches = pip_join_rect(
-        rings, layers, res=res, how="inner", point_id="xy_id"
-    ).select("xy_id", "ring_i", "layer", "db")
-    ring_pivot = rings.select("xy_id", "ring_i").join(
-        pivot_layer_max(ring_matches, ["xy_id", "ring_i"]), ["xy_id", "ring_i"], "left"
-    )
+    ring_pivot = _left_cell_pivot(rings, layers, res, keys=["xy_id", "ring_i"])
     interp_vals = interpolate_missing(ring_pivot, ring_count=ring_count)
-    interp = aggregate_noise_values(
-        miss.select("xy_id").join(interp_vals, "xy_id", "left"), prefer_syke=True
-    ).select(*SAMPLE_COLS)
+    interp = aggregate_noise_values(interp_vals, prefer_syke=True).select(*SAMPLE_COLS)
 
     all_samples = normal.unionByName(interp)
     return samples.join(all_samples, "xy_id", "left")

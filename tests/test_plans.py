@@ -58,20 +58,28 @@ def test_parquet_filter_pushdown(spark):
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
 
 
-def test_flagship_tail_is_single_pass(spark):
-    """The per-edge rollup is ONE grouped aggregate: exactly one
-    edge_id exchange in the whole plan, no (edge_id, x) aggregate
-    shuffles and no reassembly join — the r01 tail cost 5 exchanges /
-    6 stages and was the measured scaling floor."""
+def test_flagship_tail_is_two_level(spark):
+    """The per-edge rollup is the r06 two-level shape: ONE codegen
+    count aggregate keyed (edge_id, n_max_adj, n_max_mask) feeding ONE
+    edge_id object aggregate — exactly two tail exchanges, no
+    reassembly join, and the heavy collect_list runs on the
+    pre-reduced triples (~1 row/edge measured), not the raw samples
+    (the r01 tail cost 5 exchanges / 6 stages; the r05 single-pass
+    tail cost ~25 of 82 executor-seconds in per-edge array exprs)."""
     import re
 
     edges = synth.page_edges(spark, SF_TINY)
     layers = synth.noise_layers(spark)
     plan = _plan(run_noise_join(edges, layers, synth.NODATA_RECT, res=7))
     edge_exchanges = re.findall(r"Exchange hashpartitioning\(edge_id[^)]*\)", plan)
-    assert len(edge_exchanges) == 1, edge_exchanges
-    # no secondary-key shuffles (edge_id, n_max_adj) / (edge_id, src)
-    assert not re.search(r"hashpartitioning\(edge_id#\d+L?, [a-z_]+#", plan), plan[:400]
+    assert len(edge_exchanges) == 2, edge_exchanges
+    # level 1 is keyed by the full triple...
+    assert re.search(
+        r"hashpartitioning\(edge_id#\d+L?, n_max_adj#\d+, n_max_mask#\d+", plan
+    ), plan[:400]
+    # ...and only the pre-reduced rows reach the object aggregate:
+    # collect_list must aggregate the weighted struct (adj, mask, c)
+    assert re.search(r"collect_list\(struct\(adj,[^)]*mask,[^)]*c,", plan), plan[:400]
 
 
 def test_flagship_no_cartesian_and_codegen(spark):
