@@ -223,19 +223,31 @@ def _left_cell_pivot(
     keys: list[str],
     x: str = "x",
     y: str = "y",
+    res_bump: int = 0,
 ) -> DataFrame:
     """LEFT broadcast cell-join + one grouped 8-way conditional max —
     the fused PIP+pivot core shared by ``location_exposures`` and the
     ring branch. Exactly one aggregation over a stream-static broadcast
     join; unmatched points survive with all-null layer columns.
     Value-identical to pip_join_rect(inner) → pivot_layer_max →
-    join-back (oracle-pinned), with zero join-backs."""
+    join-back (oracle-pinned), with zero join-backs.
+
+    ``res_bump`` joins at a finer cell resolution than the caller's
+    polygon-scale ``res`` — results are resolution-invariant (the exact
+    bbox refine decides), only the candidate count changes. One step
+    finer quarters the cell area, so far fewer non-hit (point, rect)
+    candidate rows reach the aggregation (measured at bench scale:
+    53M → 33M rows, 2.36 → 1.79 s for the big location pass) at the
+    cost of ~4× cover rows on the (tiny, broadcast) polygon side.
+    Callers bump only when the point side is large; the cover explode
+    stays bounded by the split_by_cover_size valve upstream."""
     from hope_graph_builder_spark.operators.spatial_join import (
         CELL,
         with_cover_cells,
         with_point_cell,
     )
 
+    res = res + res_bump
     p = with_point_cell(points, x, y, res)
     g = F.broadcast(
         with_cover_cells(layers, "minx", "miny", "maxx", "maxy", res)
@@ -297,7 +309,9 @@ def location_exposures(
             (F.col("x") >= nx0) & (F.col("x") < nx1)
             & (F.col("y") >= ny0) & (F.col("y") < ny1)
         )
-    return _left_cell_pivot(sq, layers, res, keys=["xy_id"])
+    # the point side is corpus-sized here → join one res step finer
+    # (fewer false candidates; see _left_cell_pivot docstring)
+    return _left_cell_pivot(sq, layers, res, keys=["xy_id"], res_bump=1)
 
 
 def _final_samples_fused_dedup(
