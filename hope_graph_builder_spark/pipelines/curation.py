@@ -24,6 +24,8 @@ downstream of the gate runs on the (much smaller) kept set.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,9 +89,26 @@ def run_corpus_curation(
             textops.token_count(t).cast("long").alias("n_tokens"),
         )
     )
+    if os.environ.get("HGBS_CURATION_CKPT", "1") not in ("0", "false"):
+        # The two-phase operators downstream each consume their input
+        # twice (counts + rank join; totals + prefix window), so the
+        # lazy plan re-evaluates this subtree — and the whole Gopher
+        # battery text scan inside it — up to 4×. A LAZY localCheckpoint
+        # materializes the gated set once per job (MEMORY_AND_DISK on
+        # executors, torn down with the session — within-job reuse, not
+        # cross-run caching) and truncates the recompute tree. At
+        # 100 TB this writes the (post-gate, much smaller) kept set
+        # once to executor-local storage — the standard price of a
+        # multi-consumer subtree (guide §5); HGBS_CURATION_CKPT=0
+        # restores full lineage recompute.
+        gated = gated.localCheckpoint(eager=False)
     capped = quota_cap(
         gated, quota_per_source, by=by, id_col=id_col, salt=salt
     )
+    if os.environ.get("HGBS_CURATION_CKPT", "1") not in ("0", "false"):
+        # same multi-consumer argument one stage later: pack reads
+        # capped twice, chunking reads pack's output once more
+        capped = capped.localCheckpoint(eager=False)
     packed = pack_token_budget(
         capped, token_budget, tokens_col="n_tokens", quality_col="quality",
         id_col=id_col,
