@@ -50,6 +50,7 @@ def connected_components(
         .localCheckpoint()
     )
     changed = 0
+    rounds = 0
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym.b == labels.id, "inner")
@@ -69,8 +70,13 @@ def connected_components(
         new_labels = new_labels.localCheckpoint()
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
+        rounds += 1
         if changed == 0:
             break
+    # observability for benches (VERDICT r05 #9): the label front moves
+    # one hop per round, so star-pair graphs must read 2 propagation
+    # rounds + 1 confirming round = 3 here
+    connected_components.last_rounds = rounds
     if changed != 0:
         # silent non-convergence would return WRONG components — fail
         # loudly instead (the label front advances one hop per round, so

@@ -26,6 +26,8 @@ member failed the gate).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -76,6 +78,15 @@ def run_webtext_ingest(
         id_col, "url", F.col("extracted_text"),
         *([] if profiles is not None else [F.col("lang")]),
     )
+    if os.environ.get("HGBS_WEBTEXT_CKPT", "1") not in ("0", "false"):
+        # the extracted corpus feeds 3-4 consumers (profile training,
+        # lang prediction, the signal scan, MinHash clustering) — a
+        # LAZY localCheckpoint materializes the extraction once per job
+        # instead of re-running the HTML→text scan per consumer
+        # (within-job reuse on executor-local storage, torn down with
+        # the session — not cross-run caching). HGBS_WEBTEXT_CKPT=0
+        # restores full lineage recompute.
+        ex = ex.localCheckpoint(eager=False)
     if profiles is None:
         profiles = textops.train_lang_profiles(
             ex.filter(F.col("lang").isNotNull()), text="extracted_text", lang="lang"

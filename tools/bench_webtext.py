@@ -93,8 +93,14 @@ def main() -> None:
         F.bit_xor(F.xxhash64(F.to_json(F.struct("doc_id", "keep")))).alias("x")
     ).collect()
 
+    from hope_graph_builder_spark.operators.graph import connected_components
+
     t0 = time.time()
+    # run_webtext_ingest's clustering fixpoint executes EAGERLY inside
+    # this call (per-round localCheckpoints), so construct wall ≈ the
+    # CC tail the r05 verdict asked to instrument (#9)
     out = run_webtext_ingest(pages, minhash_hash=hashm, profiles=profiles)
+    t1 = time.time()
     row = out.agg(
         F.bit_xor(F.xxhash64(F.to_json(F.struct(*out.columns)))).alias("x"),
         F.count(F.lit(1)).alias("n"),
@@ -105,6 +111,8 @@ def main() -> None:
     print(json.dumps({
         "cpus": cores, "docs": n_docs, "rows": row["n"], "kept": row["kept"],
         "wall": round(wall, 3), "docs_per_sec": round(n_docs / wall, 1), "hash": hashm,
+        "cc_wall": round(t1 - t0, 3),
+        "cc_rounds": getattr(connected_components, "last_rounds", None),
         "profiles": "pretrained" if profiles is not None else "self",
     }), flush=True)
 
