@@ -176,10 +176,17 @@ def minhash_star_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     OOM at 10² copies × 5·10³ clusters on 12 GB executors), the star
     is 10⁵. Use minhash_dup_pairs when the PAIR LIST itself is the
     product (exact-Jaccard verification); use this for clustering."""
+    from pyspark.sql.window import Window as W
+
     bb = minhash_band_buckets(minhash_signature(df, text_col, id_col, hash=hash), id_col)
-    hub = bb.groupBy("band", "bucket").agg(F.min(id_col).alias("a"))
+    # per-bucket hub via an unordered window min instead of
+    # groupBy → self-join: ONE evaluation of the MinHash signature
+    # subtree (the operator's dominant cost) and ONE (band, bucket)
+    # exchange instead of two of each (r06). Sort-based, no per-key
+    # state — the 10⁵-member boilerplate bucket stays safe.
+    hub = F.min(id_col).over(W.partitionBy("band", "bucket"))
     return (
-        bb.join(hub, ["band", "bucket"])
+        bb.withColumn("a", hub)
         .filter(F.col(id_col) > F.col("a"))
         .select("a", F.col(id_col).alias("b"))
         .distinct()
@@ -274,15 +281,20 @@ def line_dedup(
     key = F.xxhash64("line") if key_method == "xx" else F.col("line")
     keyed = lines.select(id_col, "pos", "line", key.alias("_lk"))
     dedupable = F.length(F.col("line")) >= F.lit(min_chars)
-    keepers = (
-        keyed.filter(dedupable)
-        .groupBy("_lk")
-        .agg(
-            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("k"),
-        )
-    )
+    # keeper via an unordered window min over the line key instead of
+    # groupBy → join-back: ONE evaluation of the corpus line explode
+    # and ONE _lk exchange instead of two of each (r06). min(when(...))
+    # ignores the exempt short lines exactly as the filtered groupBy
+    # did (a key whose rows are all exempt yields NULL → kept).
+    # Sort-based window, no per-key state — the 10⁸-occurrence
+    # boilerplate line cannot OOM it.
+    from pyspark.sql.window import Window as W
+
+    keeper = F.min(
+        F.when(dedupable, F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
+    ).over(W.partitionBy("_lk"))
     kept = (
-        keyed.join(keepers, "_lk", "left")
+        keyed.withColumn("k", keeper)
         .filter(
             F.col("k").isNull()  # exempt short line: never in keepers
             | ((F.col("k.d") == F.col(id_col)) & (F.col("k.p") == F.col("pos")))

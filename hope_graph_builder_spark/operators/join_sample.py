@@ -35,7 +35,7 @@ def join_uniform_sample(
     id_a: str,
     id_b: str,
     salt: str = "js0",
-    n_buckets: int = 64,
+    n_buckets: int | str = 64,
 ) -> DataFrame:
     """k pairs sampled uniformly (systematic-stratified, deterministic
     by ``salt``) from the equi-join ``a ⋈ b ON on`` — WITHOUT
@@ -56,12 +56,29 @@ def join_uniform_sample(
     The key column must be a scalar (string/int) — it is hashed for
     bucket placement and ordered for the offset prefix (any total
     order works; the ORDER defines the bijection, not the
-    distribution)."""
+    distribution).
+
+    ``n_buckets`` is the parallelism of the per-bucket offset sort —
+    the op's only ceiling at scale (the key table sorts within
+    buckets, so 64 buckets cap that sort at 64-way). It is ALSO a
+    bijection parameter: bucket assignment participates in the key
+    order, so a different ``n_buckets`` draws a (still exactly
+    uniform) DIFFERENT sample — it cannot be silently auto-raised
+    under a caller. Pass ``n_buckets="auto"`` to derive it from the
+    measured key count (max(64, keys // 10⁶), capped 65536 — ≥64-way
+    and ~10⁶ keys per sort bucket; costs one extra count action);
+    the floor keeps auto == 64 on any sub-64M-key input, so existing
+    fixed-``n_buckets`` results are reproduced there."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     spark = a.sparkSession
     ca = a.groupBy(on).agg(F.count(F.lit(1)).alias("_ca"))
     cb = b.groupBy(on).agg(F.count(F.lit(1)).alias("_cb"))
+    if n_buckets == "auto":
+        n_keys = ca.join(cb, on).count()
+        n_buckets = max(64, min(65536, n_keys // 1_000_000))
+    elif not isinstance(n_buckets, int) or n_buckets < 1:
+        raise ValueError(f"n_buckets must be a positive int or 'auto', got {n_buckets!r}")
     keys = (
         ca.join(cb, on)
         .withColumn("_p", (F.col("_ca") * F.col("_cb")).cast("long"))

@@ -92,24 +92,21 @@ def url_dedup(
     the min-id document per canonical URL, ``n_dups`` the group size.
     ``df.filter("keep")`` is the dedup.
 
-    100 TB shape: one groupBy(canon_url) whose min/count aggregates
-    partially combine map-side (a URL crawled 10⁶ times collapses per
-    input partition before the exchange), then one equi-join attach —
-    the same skew-proof two-step as line_dedup, no window over the
-    hot key."""
+    100 TB shape: ONE exchange on the canonical URL feeding two
+    unordered window aggregates (min id, count) — sort-based, no
+    per-key state, so a URL crawled 10⁶ times cannot OOM a task. The
+    r05 groupBy → equi-join-back form evaluated the canonicalizer
+    over the corpus twice and exchanged it twice (r06, guide §2.4)."""
+    from pyspark.sql.window import Window as W
+
     canon = url_canonical_expr(F.col(url_col))
     keyed = df.select(F.col(id_col), canon.alias("canon_url"))
-    groups = keyed.groupBy("canon_url").agg(
-        F.min(id_col).alias("_keeper"), F.count("*").alias("n_dups")
-    )
-    return (
-        keyed.join(groups, "canon_url")
-        .select(
-            id_col,
-            "canon_url",
-            (F.col(id_col) == F.col("_keeper")).alias("keep"),
-            "n_dups",
-        )
+    w = W.partitionBy("canon_url")
+    return keyed.select(
+        id_col,
+        "canon_url",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+        F.count(F.lit(1)).over(w).alias("n_dups"),
     )
 
 

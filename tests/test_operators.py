@@ -990,6 +990,23 @@ def test_join_uniform_sample(spark):
     want_pairs = {(ka, ia, ib) for ia, ka in a_rows[:3]
                   for ib, kb2 in b_rows[:2] if ka == kb2}
     assert got_pairs == want_pairs
+    # n_buckets='auto' (r06 scale knob): below the 64M-key floor it
+    # must resolve to 64 and reproduce the fixed-bucket sample exactly
+    out_auto = {r2.idx: (r2.k, r2.a_id, r2.b_id) for r2 in
+                join_uniform_sample(a, b, "k", k, "a_id", "b_id",
+                                    salt=salt, n_buckets="auto").collect()}
+    assert out_auto == out
+    # n_buckets is a bijection PARAMETER: another value draws a valid
+    # (k distinct in-range strata, real join pairs) but generally
+    # DIFFERENT sample — which is why auto cannot silently replace a
+    # caller's fixed value above the floor
+    out512 = join_uniform_sample(a, b, "k", k, "a_id", "b_id",
+                                 salt=salt, n_buckets=512).collect()
+    assert len(out512) == k and len({r2.idx for r2 in out512}) == k
+    all_pairs = {(ka, ia, ib) for ia, ka in a_rows
+                 for ib, kb2 in b_rows if ka == kb2}
+    assert {(r2.k, r2.a_id, r2.b_id) for r2 in out512} <= all_pairs
+    assert all(0 <= r2.idx < P for r2 in out512)
 
 
 def test_join_uniform_sample_uniformity(spark):
