@@ -116,10 +116,34 @@ def minhash_signature(
     The shingle array is HOISTED into its own column first
     (with_shingles), so the k per-salt transforms iterate a
     materialized per-row array instead of re-tokenizing the text —
-    without the hoist the pass is O(tokens²)·k per document."""
+    without the hoist the pass is O(tokens²)·k per document.
+
+    r06 'xx' fast path: each shingle string is hashed ONCE
+    (xxhash64(s)), hoisted, and the k signature rows derive from the
+    8-byte base hash (xxhash64(h, j) — fixed-width rehash, the
+    multiply-shift/derived-permutation idiom of production MinHash)
+    instead of re-hashing the full shingle text k times with string
+    salts. Exact duplicates still produce identical signatures under
+    any family (same shingle set → same base hashes → same mins); the
+    md5 oracle mode is byte-for-byte untouched. Measured: the
+    signature pass drops ~2.4× (see OPTIMIZATION_r06.md)."""
     d = with_shingles(df, text_col, out="_mh_sh")
-    h = _hasher(hash)
     sh = F.col("_mh_sh")
+    if hash == "xx":
+        # hoisted once-per-shingle base hash; CollapseProject keeps the
+        # multi-referenced alias un-inlined (same guarantee the shingle
+        # hoist itself relies on)
+        d = d.withColumn("_mh_h", F.transform(sh, lambda s: F.xxhash64(s)))
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("_mh_h"), lambda hv: F.xxhash64(hv, F.lit(j)))
+                )
+                for j in range(k)
+            ]
+        )
+        return d.select(F.col(id_col), sig.alias("sig"))
+    h = _hasher(hash)
 
     def minhash_j(j: int):
         salt = F.lit(f":{j}")
